@@ -1,0 +1,306 @@
+"""Unified Vision Transformer core (flax.linen), parameterized to express every
+backbone family the reference uses — DINO-S/16, DINOv2-S/14 (LayerScale),
+CLIP-B/16 (pre-LN + QuickGELU + final projection) and the trainable SimpleViT
+click encoder.
+
+One implementation instead of the reference's four in-repo ViT copies
+(reference: core/model/featurizers/DINO.py:213-377, DINOv2.py:53-351,
+maskclip/model.py, simple_ViT.py:96-155). Featurizer adapters in
+``models/featurizers`` add click-feature injection around the exposed
+``embed_patches`` / ``forward_tokens`` seams.
+
+All images are NHWC. Compute dtype is configurable; the eval path keeps f32 for
+NoC parity, training may use bf16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isegprobe_tpu.ops.attention import mha
+from isegprobe_tpu.ops.resize import resize
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 14
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    ffn_bias: bool = True
+    layerscale: bool = False  # DINOv2: True
+    act: str = "gelu"  # 'gelu' (exact) | 'quick_gelu' (CLIP)
+    norm_eps: float = 1e-6
+    class_token: bool = True
+    # pos-embed grid the checkpoint was pretrained at (DINOv2-S/14: 518/14=37)
+    pretrain_grid: tuple[int, int] = (37, 37)
+    # DINO/DINOv2 '+0.1' scale-factor trick for pos-embed interpolation
+    # (reference: core/model/featurizers/DINOv2.py:212-222); None = plain
+    # size-based bicubic (the interpolate_pos_embed_inference convention,
+    # reference: core/model/featurizers/utils/pos_embed.py:110-150).
+    interpolate_offset: float | None = 0.1
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+
+def _act_fn(name: str, x: jnp.ndarray) -> jnp.ndarray:
+    if name == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if name == "quick_gelu":
+        return x * jax.nn.sigmoid(1.702 * x)
+    raise ValueError(f"Unknown activation: {name}")
+
+
+class PatchEmbed(nn.Module):
+    """Conv patch embedding: NHWC image -> [B, N, D] tokens."""
+
+    patch_size: int
+    embed_dim: int
+    dtype: Any = jnp.float32
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding="VALID",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        b, h, w, d = x.shape
+        return x.reshape(b, h * w, d)
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_k: bool = False):
+        b, n, c = x.shape
+        dh = c // self.num_heads
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
+        out = mha(q, k, v, scale=dh**-0.5, impl=self.attn_impl)
+        out = out.reshape(b, n, c)
+        out = nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+        if return_k:
+            return out, k
+        return out
+
+
+class Mlp(nn.Module):
+    dim: int
+    hidden_dim: int
+    act: str = "gelu"
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype,
+                     name="fc1")(x)
+        x = _act_fn(self.act, x)
+        x = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class LayerScale(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        return x * gamma
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_k: bool = False):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm1")(x)
+        attn = Attention(
+            c.embed_dim, c.num_heads, c.qkv_bias, c.proj_bias, c.dtype, c.attn_impl,
+            name="attn",
+        )
+        if return_k:
+            a, k = attn(h, return_k=True)
+        else:
+            a, k = attn(h), None
+        if c.layerscale:
+            a = LayerScale(c.embed_dim, name="ls1")(a)
+        x = x + a
+        h2 = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm2")(x)
+        m = Mlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), c.act, c.ffn_bias,
+                c.dtype, name="mlp")(h2)
+        if c.layerscale:
+            m = LayerScale(c.embed_dim, name="ls2")(m)
+        x = x + m
+        if return_k:
+            return x, k
+        return x
+
+
+class ViT(nn.Module):
+    """The transformer trunk with cls token + interpolated pos embeddings.
+
+    Exposed seams (used by featurizer adapters for click injection):
+      * ``embed_patches(img)`` -> patch tokens [B, N, D]
+      * ``forward_tokens(tokens, grid_hw)`` -> dict with normalized tokens
+        (and optionally the last block's key vectors for DINO's 'key' probing,
+        reference: core/model/featurizers/DINO.py:588-603).
+    """
+
+    cfg: ViTConfig
+
+    def setup(self):
+        c = self.cfg
+        self.patch_embed = PatchEmbed(c.patch_size, c.embed_dim, c.dtype,
+                                      name="patch_embed")
+        if c.class_token:
+            self.cls_token = self.param(
+                "cls_token", nn.initializers.zeros, (1, 1, c.embed_dim)
+            )
+        gh, gw = c.pretrain_grid
+        n_tokens = gh * gw + (1 if c.class_token else 0)
+        self.pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, n_tokens, c.embed_dim),
+        )
+        self.blocks = [Block(c, name=f"blocks_{i}") for i in range(c.depth)]
+        self.norm = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm")
+
+    def interpolated_pos_embed(self, grid_hw: tuple[int, int]) -> jnp.ndarray:
+        """Bicubic pos-embed interpolation to a new token grid, with the
+        DINO-family '+offset' scale trick when configured."""
+        c = self.cfg
+        gh0, gw0 = c.pretrain_grid
+        gh, gw = grid_hw
+        pe = self.pos_embed.astype(jnp.float32)
+        n_extra = 1 if c.class_token else 0
+        if (gh, gw) == (gh0, gw0):
+            return pe
+        extra, patch_pe = pe[:, :n_extra], pe[:, n_extra:]
+        patch_pe = patch_pe.reshape(1, gh0, gw0, c.embed_dim)
+        if c.interpolate_offset is not None:
+            scales = ((gh + c.interpolate_offset) / gh0,
+                      (gw + c.interpolate_offset) / gw0)
+        else:
+            scales = None
+        patch_pe = resize(patch_pe, (gh, gw), "bicubic", align_corners=False,
+                          scales=scales)
+        patch_pe = patch_pe.reshape(1, gh * gw, c.embed_dim)
+        return jnp.concatenate([extra, patch_pe], axis=1)
+
+    def embed_patches(self, img: jnp.ndarray) -> jnp.ndarray:
+        """NHWC image -> patch tokens [B, N, D] (pre cls/pos)."""
+        return self.patch_embed(img)
+
+    def forward_tokens(
+        self,
+        tokens: jnp.ndarray,
+        grid_hw: tuple[int, int],
+        return_last_k: bool = False,
+        last_n_norm: int = 1,
+    ) -> dict:
+        """Run cls-concat + pos-embed + blocks + final norm.
+
+        Returns dict:
+          'tokens': [B, 1+N, D] normalized output tokens (cls first if present)
+          'patch_tokens': [B, N, D] normalized patch tokens
+          'last_k': [B, 1+N, H, Dh] key vectors of the final block (optional)
+        """
+        c = self.cfg
+        b = tokens.shape[0]
+        if c.class_token:
+            cls = jnp.broadcast_to(
+                self.cls_token.astype(tokens.dtype), (b, 1, c.embed_dim)
+            )
+            tokens = jnp.concatenate([cls, tokens], axis=1)
+        pe = self.interpolated_pos_embed(grid_hw).astype(tokens.dtype)
+        x = tokens + pe
+
+        last_k = None
+        for i, blk in enumerate(self.blocks):
+            want_k = return_last_k and i == c.depth - 1
+            if want_k:
+                x, last_k = blk(x, return_k=True)
+            else:
+                x = blk(x)
+        x = self.norm(x)
+
+        out = {
+            "tokens": x,
+            "patch_tokens": x[:, 1:] if c.class_token else x,
+        }
+        if return_last_k:
+            out["last_k"] = last_k
+        return out
+
+    def __call__(
+        self,
+        img: jnp.ndarray,
+        inject: jnp.ndarray | None = None,
+        return_last_k: bool = False,
+    ) -> dict:
+        """Full forward: NHWC image (+optional pre-backbone token injection)."""
+        h, w = img.shape[1], img.shape[2]
+        grid_hw = (h // self.cfg.patch_size, w // self.cfg.patch_size)
+        tokens = self.embed_patches(img)
+        if inject is not None:
+            tokens = tokens + inject.astype(tokens.dtype)
+        return self.forward_tokens(tokens, grid_hw, return_last_k=return_last_k)
+
+
+def posemb_sincos_2d(h: int, w: int, dim: int, temperature: float = 10000.0) -> np.ndarray:
+    """lucidrains SimpleViT fixed 2-D sincos embedding
+    (reference: core/model/featurizers/simple_ViT.py:18-27)."""
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    assert dim % 4 == 0
+    omega = np.arange(dim // 4) / (dim // 4 - 1)
+    omega = 1.0 / temperature**omega
+    y = y.flatten()[:, None] * omega[None, :]
+    x = x.flatten()[:, None] * omega[None, :]
+    return np.concatenate(
+        [np.sin(x), np.cos(x), np.sin(y), np.cos(y)], axis=1
+    ).astype(np.float32)
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:
+    """MoCo-v3-style 2-D sincos pos embedding (reference:
+    core/model/featurizers/utils/pos_embed.py:22-70)."""
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(grid_size, dtype=np.float32)
+    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0).reshape(2, -1)
+    emb = np.concatenate([_1d(embed_dim // 2, grid[0]), _1d(embed_dim // 2, grid[1])], axis=1)
+    if cls_token:
+        emb = np.concatenate([np.zeros((1, embed_dim)), emb], axis=0)
+    return emb.astype(np.float32)

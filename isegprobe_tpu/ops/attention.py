@@ -1,0 +1,113 @@
+"""Multi-head attention: fused Pallas TPU kernel with a jnp reference path.
+
+Replaces the reference's xformers ``memory_efficient_attention`` + pure-torch
+fallback (reference: core/model/featurizers/dinov2/layers/attention.py:34-91).
+
+Probing workloads have short sequences (≤ (448/14)²+1 = 1025 tokens at eval,
+257 at train — SURVEY.md §2.12), so the whole K/V of one (batch, head) fits in
+VMEM. The Pallas kernel therefore fuses QKᵀ → mask → softmax → PV per query
+block with no HBM roundtrip of the attention matrix; queries are blocked so the
+same kernel scales to longer sequences (the blockwise structure is where a
+ring/context-parallel axis would attach if ever needed).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mha"]
+
+
+def _mha_jnp(q, k, v, scale):
+    """Reference path: q,k,v [B, N, H, Dh] -> [B, N, H, Dh], f32 softmax."""
+    hi = jax.lax.Precision.HIGHEST
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=hi).astype(jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v, precision=hi)
+    return out
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
+    q = q_ref[0].astype(jnp.float32)  # [bq, d]
+    k = k_ref[0].astype(jnp.float32)  # [Np, d]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale  # [bq, Np]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, -jnp.inf)
+    # numerically-stable softmax in f32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.dot(
+        p,
+        v_ref[0].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _mha_pallas(q, k, v, scale, interpret=False):
+    """Fused attention. q,k,v: [B, N, H, Dh]."""
+    b, n, h, d = q.shape
+    bq = 128
+    n_pad = -(-n // bq) * bq
+
+    def to_bh(x):
+        x = jnp.moveaxis(x, 2, 1).reshape(b * h, n, d)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
+
+    grid = (b * h, n_pad // bq)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, n_valid=n),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    out = out[:, :n].reshape(b, h, n, d)
+    return jnp.moveaxis(out, 1, 2)
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head attention over [B, N, H, Dh] tensors (no masking of queries).
+
+    impl: 'auto' (pallas on TPU, jnp elsewhere) | 'jnp' | 'pallas' |
+    'pallas_interpret' (for CPU testing of the kernel).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "jnp":
+        return _mha_jnp(q, k, v, scale)
+    if impl == "pallas":
+        return _mha_pallas(q, k, v, scale)
+    if impl == "pallas_interpret":
+        return _mha_pallas(q, k, v, scale, interpret=True)
+    raise ValueError(f"Unknown attention impl: {impl}")

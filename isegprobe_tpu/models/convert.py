@@ -43,6 +43,91 @@ def _conv_patch(sd: Mapping, prefix: str) -> Dict:
     return out
 
 
+def _bn(sd: Mapping, prefix: str) -> Dict:
+    return {
+        "scale": _to_np(sd[f"{prefix}.weight"]),
+        "bias": _to_np(sd[f"{prefix}.bias"]),
+        "mean": _to_np(sd[f"{prefix}.running_mean"]),
+        "var": _to_np(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _conv(sd: Mapping, prefix: str) -> Dict:
+    out = {"kernel": _to_np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _to_np(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_lift(state_dict: Mapping) -> Dict:
+    """LiFT torch checkpoint -> LiFTUpsampler params
+    (reference module: core/model/upsamplers/LiFT.py:47-122)."""
+    sd = {k.removeprefix("module."): v for k, v in dict(state_dict).items()}
+    return {
+        "image_convs_1a": {"conv": _conv(sd, "image_convs_1.0"),
+                           "bn": _bn(sd, "image_convs_1.1")},
+        "image_convs_1b": {"conv": _conv(sd, "image_convs_1.3"),
+                           "bn": _bn(sd, "image_convs_1.4")},
+        "image_convs_2": {"conv": _conv(sd, "image_convs_2.0"),
+                          "bn": _bn(sd, "image_convs_2.1")},
+        "up_transpose": {
+            # torch ConvTranspose2d weight [in, out, kh, kw] -> [kh, kw, in, out]
+            "kernel": _to_np(sd["up1.up.weight"]).transpose(2, 3, 0, 1),
+            "bias": _to_np(sd["up1.up.bias"]),
+        },
+        "up_conv": {
+            "c1": {"conv": _conv(sd, "up1.conv_1.double_conv.0"),
+                   "bn": _bn(sd, "up1.conv_1.double_conv.1")},
+            "c2": {"conv": _conv(sd, "up1.conv_1.double_conv.3"),
+                   "bn": _bn(sd, "up1.conv_1.double_conv.4")},
+        },
+        "outc": _conv(sd, "outc"),
+    }
+
+
+def convert_loftup(upsampler_sd: Mapping, channelnorm_sd: Mapping,
+                   num_layers: int = 2) -> Dict:
+    """LoftUp ('sine' variant) torch state dicts -> LoftUpUpsampler params.
+
+    ``upsampler_sd``/``channelnorm_sd`` are the post-surgery dicts the reference
+    loader produces (core/model/upsamplers/loftup/loftup.py:152-177).
+    """
+    sd = dict(upsampler_sd)
+    ca = {"norm": _layernorm(sd, "ca_transformer.norm")}
+    for i in range(num_layers):
+        p = f"ca_transformer.layers.{i}"
+        ca[f"ca_{i}"] = {
+            "norm_q": _layernorm(sd, f"{p}.0.norm_q"),
+            "norm_kv": _layernorm(sd, f"{p}.0.norm_kv"),
+            "attention": {
+                "in_proj_weight": _to_np(sd[f"{p}.0.attention.in_proj_weight"]),
+                "in_proj_bias": _to_np(sd[f"{p}.0.attention.in_proj_bias"]),
+                "out_proj": _linear(sd, f"{p}.0.attention.out_proj"),
+            },
+        }
+        ca[f"ff_{i}"] = {
+            "norm": _layernorm(sd, f"{p}.1.net.0"),
+            "fc1": _linear(sd, f"{p}.1.net.1"),
+            "fc2": _linear(sd, f"{p}.1.net.4"),
+        }
+    return {
+        "channelnorm": {"norm": _layernorm(dict(channelnorm_sd), "norm")},
+        "fourier_feat": {"biases": _to_np(sd["fourier_feat.1.biases"])},
+        "lr_pe": {"biases": _to_np(sd["lr_pe.biases"])},
+        "first_norm": {"norm": _layernorm(sd, "first_conv.0.norm")},
+        "first_conv1": {"conv": _conv(sd, "first_conv.1"),
+                        "bn": _bn(sd, "first_conv.2")},
+        "first_conv2": {"conv": _conv(sd, "first_conv.4"),
+                        "bn": _bn(sd, "first_conv.5")},
+        "ca_transformer": ca,
+        "final_conv": _conv(sd, "final_conv.0"),
+        "final_ln": {
+            "weight": _to_np(sd["final_conv.1.weight"]),
+            "bias": _to_np(sd["final_conv.1.bias"]),
+        },
+    }
+
+
 def convert_vit(state_dict: Mapping, depth: int, layerscale: bool = False) -> Dict:
     """Convert a DINO/DINOv2-family torch ViT state dict to our ViT params.
 
@@ -51,6 +136,12 @@ def convert_vit(state_dict: Mapping, depth: int, layerscale: bool = False) -> Di
     Extraneous keys (mask_token, head.*, register tokens) are ignored.
     """
     sd = dict(state_dict)
+    # DINOv2's block_chunks wrapping nests block params as blocks.{chunk}.{i}.*
+    # with globally-consistent i (reference: core/model/featurizers/
+    # DINOv2.py:160-172); strip the chunk index.
+    chunk_re = re.compile(r"^blocks\.\d+\.(\d+)\.")
+    if any(chunk_re.match(k) for k in sd):
+        sd = {chunk_re.sub(r"blocks.\1.", k): v for k, v in sd.items()}
     params: Dict[str, Any] = {
         "cls_token": _to_np(sd["cls_token"]),
         "pos_embed": _to_np(sd["pos_embed"]),

@@ -1,0 +1,237 @@
+"""The composite interactive-segmentation probe model.
+
+Rebuilds iSegBaseModel + iSegProbeModel (reference:
+core/model/iseg_base_model.py:12-118, core/model/iseg_probe_model.py:16-258)
+as one flax module whose whole forward — image normalization, click disk-map
+encoding, click patch embedding, backbone (with injection), upsampler, head and
+the final align-corners resize — is a single compiled XLA program.
+
+Differences from the reference's torch design (SURVEY.md §7):
+  * NHWC everywhere; clicks come in as fixed-size padded [B, 2N, 3] tensors.
+  * Frozen-ness is a property of the parameter tree, not the module: the
+    ``trainable_submodules()`` helper gives the path prefixes the optimizer
+    should update, and ``save_cfg`` filters what checkpoints store.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from isegprobe_tpu.models.featurizers.dino import DINOFeaturizer
+from isegprobe_tpu.models.featurizers.dinov2 import DINOv2Featurizer
+from isegprobe_tpu.models.featurizers.simple_vit import SimpleViTFeaturizer
+from isegprobe_tpu.models.heads import HEAD_REGISTRY
+from isegprobe_tpu.models.upsamplers import UPSAMPLER_REGISTRY, _register_learned
+from isegprobe_tpu.models.vit import PatchEmbed
+from isegprobe_tpu.ops.dist_maps import encode_clicks
+from isegprobe_tpu.ops.resize import resize
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+FROZEN_SUBMODULES = ("backbone", "upsampler")  # reference freezes these
+TRAINABLE_SUBMODULES = ("embed_coords", "head", "neck")
+
+
+def build_featurizer(ftype: str, params: Dict, **common) -> nn.Module:
+    ftype = ftype.lower()
+    params = dict(params or {})
+    if ftype == "dinov2":
+        return DINOv2Featurizer(**params, **common)
+    if ftype == "vit":
+        return DINOFeaturizer(**params, **common)
+    if ftype == "simple_vit":
+        # reference maps config key names (core/utils/model_builder.py:38-48)
+        return SimpleViTFeaturizer(
+            image_size=params["img_size"],
+            patch_size=params["patch_size"],
+            dim=params["embed_dim"],
+            depth=params["depth"],
+            heads=params["heads"],
+            mlp_dim=params["mlp_dim"],
+            channels=params.get("channels", 3),
+            dim_head=params.get("dim_head", 64),
+            **common,
+        )
+    if ftype == "mask_clip":
+        from isegprobe_tpu.models.featurizers.maskclip import MaskCLIPFeaturizer
+
+        return MaskCLIPFeaturizer(**params, **common)
+    raise ValueError(f"Unsupported backbone type: {ftype}")
+
+
+def build_upsampler(utype: str, params: Optional[Dict]) -> nn.Module:
+    utype = utype.lower()
+    if utype not in UPSAMPLER_REGISTRY:
+        _register_learned()
+    if utype not in UPSAMPLER_REGISTRY:
+        raise ValueError(f"Unsupported upsampler type: {utype}")
+    cls = UPSAMPLER_REGISTRY[utype]
+    return cls(**params) if params else cls()
+
+
+def build_head(htype: str, params: Dict) -> nn.Module:
+    if htype not in HEAD_REGISTRY:
+        raise ValueError(f"Unsupported head type: {htype}")
+    return HEAD_REGISTRY[htype](**params)
+
+
+class iSegProbeModel(nn.Module):
+    """backbone (+ injected click tokens) -> upsampler -> head.
+
+    Call signature: ``model(image, points)`` with image [B, H, W, 3] in [0, 1]
+    (plus a prev-mask channel when ``with_prev_mask``, making [B, H, W, 4]) and
+    points [B, 2N, 3] rows of (y, x, index), −1-padded, positives first.
+    Returns {'instances': [B, H, W, 1] logits, 'instances_aux': None}.
+    """
+
+    backbone_cfg: Dict
+    head_cfg: Dict
+    embed_coords_cfg: Dict
+    neck_cfg: Optional[Dict] = None
+    upsampler_cfg: Optional[Dict] = None
+    save_cfg: Optional[Dict] = None
+    architecture: str = "backbone_upsampler_head"
+    with_aux_output: bool = False
+    norm_radius: float = 5.0
+    use_disks: bool = False
+    with_prev_mask: bool = False
+    norm_mean_std: Tuple = (IMAGENET_MEAN, IMAGENET_STD)
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        assert self.architecture in ("backbone_upsampler_head", "backbone_neck_head")
+        if self.architecture == "backbone_neck_head":
+            # parity with the reference: necks are registered but unimplemented
+            # (core/utils/model_builder.py:97-100)
+            raise NotImplementedError("neck architecture is not implemented")
+
+        common = dict(dtype=self.dtype, attn_impl=self.attn_impl)
+        self.backbone = build_featurizer(
+            self.backbone_cfg["type"], self.backbone_cfg.get("params"), **common
+        )
+        ucfg = self.upsampler_cfg
+        self.upsampler_type = ucfg["type"] if ucfg else "bilinear"
+        self.upsampler = build_upsampler(
+            self.upsampler_type, ucfg.get("params") if ucfg else None
+        )
+        self.head = build_head(self.head_cfg["type"], dict(self.head_cfg["params"]))
+
+        ec_type = self.embed_coords_cfg["type"]
+        ec_params = self.embed_coords_cfg["params"]
+        if ec_type == "patchEmbed":
+            p = ec_params["patch_size"]
+            p = p[0] if isinstance(p, (tuple, list)) else p
+            self.embed_coords = PatchEmbed(
+                patch_size=p,
+                embed_dim=ec_params["embed_dim"],
+                dtype=self.dtype,
+                name="embed_coords",
+            )
+        elif ec_type == "simple_vit":
+            self.embed_coords = build_featurizer("simple_vit", ec_params, **common)
+        else:
+            raise ValueError(f"Unknown embed_coords type: {ec_type}")
+
+    # -- input preparation (reference: iseg_base_model.py:91-110) --------
+
+    def prepare_input(self, image: jnp.ndarray):
+        prev_mask = None
+        if self.with_prev_mask:
+            prev_mask = image[..., 3:]
+            image = image[..., :3]
+        mean = jnp.asarray(self.norm_mean_std[0], dtype=image.dtype)
+        std = jnp.asarray(self.norm_mean_std[1], dtype=image.dtype)
+        image = (image - mean) / std
+        return image, prev_mask
+
+    def get_coord_features(self, image, prev_mask, points) -> jnp.ndarray:
+        h, w = image.shape[1], image.shape[2]
+        coords = encode_clicks(
+            points, h, w, norm_radius=self.norm_radius, use_disks=self.use_disks,
+            dtype=image.dtype,
+        )
+        if prev_mask is not None:
+            coords = jnp.concatenate([prev_mask.astype(coords.dtype), coords], axis=-1)
+        return coords
+
+    # -- forward ----------------------------------------------------------
+
+    def backbone_forward(self, image, coord_features) -> Dict:
+        coord_tokens = self.embed_coords(coord_features)
+        feats = self.backbone(image, coord_tokens)
+
+        feats = self.upsampler(feats, image)
+        h, w = image.shape[1], image.shape[2]
+        if self.upsampler_type != "identity" and feats.shape[1:3] != (h, w):
+            feats = resize(feats, (h, w), "bilinear", align_corners=True)
+
+        out = self.head(feats)
+        return {"instances": out, "instances_aux": None}
+
+    def __call__(self, image: jnp.ndarray, points: jnp.ndarray) -> Dict:
+        image, prev_mask = self.prepare_input(image)
+        coord_features = self.get_coord_features(image, prev_mask, points)
+        outputs = self.backbone_forward(image, coord_features)
+
+        h, w = image.shape[1], image.shape[2]
+        outputs["instances"] = resize(
+            outputs["instances"], (h, w), "bilinear", align_corners=True
+        )
+        return outputs
+
+    def get_lowres_highres_feats(self, image, points) -> Tuple[Dict, Dict]:
+        """Feature-probe path (reference: iseg_probe_model.py:136-174)."""
+        image, prev_mask = self.prepare_input(image)
+        coord_features = self.get_coord_features(image, prev_mask, points)
+        coord_tokens = self.embed_coords(coord_features)
+        lr_feats = self.backbone(image, coord_tokens)
+        hr_feats = self.upsampler(lr_feats, image)
+        if self.upsampler_type in ("identity", "lift"):
+            h, w = image.shape[1], image.shape[2]
+            hr_feats = resize(hr_feats, (h, w), "bilinear", align_corners=True)
+        return {"coord_features": coord_features}, {
+            "LowRes": lr_feats,
+            "HighRes": hr_feats,
+        }
+
+
+def filter_state_dict(params: Dict, save_cfg: Optional[Dict]) -> Dict:
+    """Filter a params pytree by the save_cfg include/exclude tree
+    (reference: iseg_probe_model.py:199-258): keys of save_cfg are top-level
+    submodules mapped to True/False or {'save': bool, 'exclude': [names]}."""
+    if not save_cfg:
+        return params
+
+    def included(path: Tuple[str, ...]) -> bool:
+        cfg: Any = save_cfg
+        for part in path:
+            if isinstance(cfg, dict):
+                if "exclude" in cfg and part in cfg["exclude"]:
+                    return False
+                cfg = cfg.get(part, None)
+                if cfg is False:
+                    return False
+                if cfg is None:
+                    return True
+                if isinstance(cfg, dict) and "save" in cfg and not cfg["save"]:
+                    return False
+        return cfg is not False
+
+    def walk(tree: Dict, path: Tuple[str, ...]) -> Dict:
+        out = {}
+        for k, v in tree.items():
+            p = path + (k,)
+            if isinstance(v, dict):
+                sub = walk(v, p)
+                if sub:
+                    out[k] = sub
+            elif included(p):
+                out[k] = v
+        return out
+
+    return walk(params, ())

@@ -1,0 +1,103 @@
+"""Joint Bilateral Upsampling stack (FeatUp, paper 2403.10516).
+
+The reference outsources this entirely to the FeatUp pip package via torch.hub
+(reference: core/model/upsamplers/JBUFeatUp.py:30-32); here it is implemented
+natively (SURVEY.md §2.11 N4). Architecture follows FeatUp's JBUStack: four
+chained learned-JBU ×2 stages and a 0.1-scaled fixup projection residual.
+
+Each stage:
+  * projects the (stage-resolution) guidance image through a 1x1-conv → GELU →
+    1x1-conv "range" encoder (key_dim 32),
+  * builds a per-pixel 7×7 kernel = softmax(temp · ⟨key_i, key_j⟩) ×
+    Gaussian(spatial distance; learned σ), normalized over the window,
+  * applies it to the bicubically pre-upsampled source features.
+
+The filtering is expressed as 49 shifted fused multiply-adds (XLA path); a
+fused Pallas kernel is selected on TPU for the hot config (see
+ops/jbu_kernel.py) — both paths share the parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from isegprobe_tpu.ops.pool import adaptive_pool
+from isegprobe_tpu.ops.resize import resize
+
+
+class JBULearnedRange(nn.Module):
+    """One ×2 JBU stage. __call__(source [B,h,w,C], guidance [B,2h,2w,3])."""
+
+    key_dim: int = 32
+    radius: int = 3
+
+    @nn.compact
+    def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
+        r = self.radius
+        d = 2 * r + 1
+        b, gh, gw, _ = guidance.shape
+
+        range_temp = self.param("range_temp", nn.initializers.zeros, ())
+        sigma_spatial = self.param("sigma_spatial", nn.initializers.ones, ())
+
+        proj = nn.Conv(self.key_dim, (1, 1), name="range_proj1")(guidance)
+        proj = jax.nn.gelu(proj, approximate=False)
+        proj = nn.Conv(self.key_dim, (1, 1), name="range_proj2")(proj)
+
+        proj_pad = jnp.pad(proj, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
+        # range similarities for the 49 window offsets
+        sims = []
+        for ky in range(d):
+            for kx in range(d):
+                shifted = proj_pad[:, ky : ky + gh, kx : kx + gw]
+                sims.append(jnp.sum(proj * shifted, axis=-1))
+        sims = jnp.stack(sims, axis=-1)  # [B, gh, gw, d*d]
+        temp = jnp.clip(jnp.exp(range_temp), 1e-4, 1e4)
+        range_kernel = jax.nn.softmax(temp * sims, axis=-1)
+
+        grid = jnp.linspace(-1.0, 1.0, d)
+        yy, xx = jnp.meshgrid(grid, grid, indexing="ij")
+        spatial = jnp.exp(-(yy**2 + xx**2) / (2.0 * sigma_spatial**2)).reshape(-1)
+
+        kernel = range_kernel * spatial
+        kernel = kernel / jnp.clip(kernel.sum(axis=-1, keepdims=True), 1e-7)
+
+        hr = resize(source, (gh, gw), "bicubic", align_corners=False)
+        hr_pad = jnp.pad(hr, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
+        out = jnp.zeros_like(hr)
+        p = 0
+        for ky in range(d):
+            for kx in range(d):
+                out = out + kernel[..., p : p + 1] * hr_pad[:, ky : ky + gh, kx : kx + gw]
+                p += 1
+        return out
+
+
+class JBUFeatUpUpsampler(nn.Module):
+    """FeatUp JBUStack: ×16 upsampling via four learned JBU stages.
+
+    ``backbone_type``/``use_norm`` are accepted for config parity with the
+    reference wrapper (JBUFeatUp.py:12-32) but do not change the upsampler.
+    """
+
+    backbone_type: str | None = None
+    use_norm: bool = True
+    key_dim: int = 32
+    radius: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
+        feat_dim = source.shape[-1]
+        for i in range(1, 5):
+            h, w = source.shape[1], source.shape[2]
+            g = adaptive_pool(guidance, (2 * h, 2 * w), "avg")
+            source = JBULearnedRange(self.key_dim, self.radius, name=f"up{i}")(
+                source, g
+            )
+        fix = nn.Conv(feat_dim, (1, 1), name="fixup_proj")(source)
+        return fix * 0.1 + source

@@ -1,0 +1,234 @@
+"""LoftUp coordinate-based cross-attention upsampler (reference:
+core/model/upsamplers/loftup/loftup.py:16-148, layers.py; paper 2504.14032).
+
+Pipeline ('sine' LR-PE variant used by the reference checkpoints):
+  image -> MinMaxScaler -> Fourier ImplicitFeaturizer (n_freqs=20, learned
+  biases) -> conv stem -> per-pixel queries; LR feats (+ sine ImplicitFeaturizer
+  PE, n_freqs=5) -> keys/values; 2-layer cross-attention transformer; 1x1 conv
+  + ConvNeXt LayerNorm. The input LR features are ChannelNorm-ed by the wrapper
+  (loftup.py:141-148).
+
+TPU note: the cross-attention has ~H*W queries (200k at 448²) against only
+(h*w) keys — the fused Pallas attention kernel streams query blocks against a
+VMEM-resident KV, so the [Lq, Lk] matrix never exists in HBM (the torch
+reference materializes 3.3 GB there).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isegprobe_tpu.ops.attention import mha
+
+
+class ChannelNorm(nn.Module):
+    """LayerNorm over the channel axis (reference: loftup/layers.py:26-35)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.LayerNorm(name="norm")(x)
+
+
+class ConvNeXtLayerNorm(nn.Module):
+    """Channel-wise LN with ConvNeXt's eps inside the sqrt
+    (reference: loftup/layers.py:38-58)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        u = x.mean(axis=-1, keepdims=True)
+        s = jnp.square(x - u).mean(axis=-1, keepdims=True)
+        x = (x - u) / jnp.sqrt(s + self.eps)
+        return weight * x + bias
+
+
+def min_max_scale(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel global (batch+space) min-max to [-0.5, 0.5]
+    (reference: loftup/layers.py:61-71 — deliberately batch-coupled)."""
+    mn = x.min(axis=(0, 1, 2), keepdims=True)
+    mx = x.max(axis=(0, 1, 2), keepdims=True)
+    return (x - mn) / jnp.clip(mx - mn, 1e-4) - 0.5
+
+
+class ImplicitFeaturizer(nn.Module):
+    """Fourier features of the pixel grid (+ optional color channels), with the
+    reference's learned-bias quirk reproduced exactly: the bias parameter is
+    stored [2, dim_mult, n_freqs] but *reinterpreted* as [n_freqs, dim_mult]
+    when added (reference: loftup/layers.py:101-135).
+    """
+
+    color_feats: bool = True
+    n_freqs: int = 10
+    learn_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        dim_mult = 2 + (3 if self.color_feats else 0)
+
+        gh = jnp.linspace(-1.0, 1.0, h)
+        gw = jnp.linspace(-1.0, 1.0, w)
+        grid = jnp.stack(jnp.meshgrid(gh, gw, indexing="ij"), axis=-1)  # [H,W,2]
+        feats = jnp.broadcast_to(grid[None], (b, h, w, 2))
+        if self.color_feats:
+            feats = jnp.concatenate([feats, x], axis=-1)  # [B,H,W,dim_mult]
+
+        freqs = jnp.exp(jnp.linspace(-2.0, 10.0, self.n_freqs))
+        # [B,H,W,nf,dim_mult]
+        f = feats[..., None, :] * freqs[:, None]
+
+        if self.learn_bias:
+            biases = self.param(
+                "biases",
+                nn.initializers.normal(1.0),
+                (2, dim_mult, self.n_freqs),
+            )
+            sin_b = biases[0].reshape(self.n_freqs, dim_mult)
+            cos_b = biases[1].reshape(self.n_freqs, dim_mult)
+            sin_f, cos_f = f + sin_b, f + cos_b
+        else:
+            sin_f = cos_f = f
+
+        nfd = self.n_freqs * dim_mult
+        sin_f = sin_f.reshape(b, h, w, nfd)
+        cos_f = cos_f.reshape(b, h, w, nfd)
+        parts = [jnp.sin(sin_f), jnp.cos(cos_f)]
+        if self.color_feats:
+            parts.append(x)
+        return jnp.concatenate(parts, axis=-1)
+
+
+class _TorchMHA(nn.Module):
+    """torch.nn.MultiheadAttention-compatible cross-attention (packed in_proj;
+    head_dim = dim // heads regardless of the dim_head arg, which the
+    reference passes but torch ignores)."""
+
+    dim: int
+    heads: int
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, q_in, kv_in):
+        d = self.dim
+        dh = d // self.heads
+        in_w = self.param("in_proj_weight",
+                          nn.initializers.xavier_uniform(), (3 * d, d))
+        in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
+        q = q_in @ in_w[:d].T + in_b[:d]
+        k = kv_in @ in_w[d : 2 * d].T + in_b[d : 2 * d]
+        v = kv_in @ in_w[2 * d :].T + in_b[2 * d :]
+
+        bq, nq, _ = q.shape
+        nk = k.shape[1]
+        q = q.reshape(bq, nq, self.heads, dh)
+        k = k.reshape(bq, nk, self.heads, dh)
+        v = v.reshape(bq, nk, self.heads, dh)
+        out = mha(q, k, v, scale=dh**-0.5, impl=self.attn_impl)
+        out = out.reshape(bq, nq, d)
+        return nn.Dense(d, name="out_proj")(out)
+
+
+class CrossAttentionLayer(nn.Module):
+    dim: int
+    heads: int
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, query, key_value):
+        q = nn.LayerNorm(name="norm_q")(query)
+        kv = nn.LayerNorm(name="norm_kv")(key_value)
+        return _TorchMHA(self.dim, self.heads, self.attn_impl, name="attention")(q, kv)
+
+
+class _FeedForward(nn.Module):
+    dim: int
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, name="fc2")(x)
+
+
+class CATransformer(nn.Module):
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, query, key_value):
+        for i in range(self.depth):
+            query = CrossAttentionLayer(self.dim, self.heads, self.attn_impl,
+                                        name=f"ca_{i}")(query, key_value) + query
+            query = _FeedForward(self.dim, self.mlp_dim, name=f"ff_{i}")(query) + query
+        return nn.LayerNorm(name="norm")(query)
+
+
+class _ConvBNRelu(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from isegprobe_tpu.models.upsamplers.lift import FrozenBatchNorm
+
+        x = nn.Conv(self.features, (3, 3), padding=1, name="conv")(x)
+        x = FrozenBatchNorm(self.features, name="bn")(x)
+        return nn.relu(x)
+
+
+class LoftUpUpsampler(nn.Module):
+    """__call__(source [B,h,w,C], guidance [B,H,W,3]) -> [B,H,W,C].
+
+    Mirrors the reference wrapper (ChannelNorm on the input features,
+    loftup/loftup.py:141-177) around the 'sine' LoftUp.
+    """
+
+    n_dim: int = 384
+    n_freqs: int = 20
+    num_heads: int = 4
+    num_layers: int = 2
+    upsampler_path: str | None = None  # checkpoint path; loading external
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
+        dim = self.n_dim
+        lr_pe_dim = 2 * 5 * 2  # sine PE: ImplicitFeaturizer(no color, n_freqs=5)
+        cdim = dim + lr_pe_dim
+
+        source = ChannelNorm(dim, name="channelnorm")(source)
+
+        # queries from image Fourier features
+        x = min_max_scale(guidance)
+        x = ImplicitFeaturizer(True, self.n_freqs, True, name="fourier_feat")(x)
+        x = ChannelNorm(x.shape[-1], name="first_norm")(x)
+        x = _ConvBNRelu(cdim, name="first_conv1")(x)
+        x = _ConvBNRelu(cdim, name="first_conv2")(x)
+        b, h, w, _ = x.shape
+        q = x.reshape(b, h * w, cdim)
+
+        # keys/values from LR features + sine positional features
+        lr_pe = ImplicitFeaturizer(False, 5, True, name="lr_pe")(source)
+        kv = jnp.concatenate([source, lr_pe], axis=-1)
+        kv = kv.reshape(b, -1, cdim)
+
+        out = CATransformer(cdim, self.num_layers, self.num_heads, dim,
+                            self.attn_impl, name="ca_transformer")(q, kv)
+        out = out.reshape(b, h, w, cdim)
+        out = nn.Conv(dim, (1, 1), name="final_conv")(out)
+        return ConvNeXtLayerNorm(dim, name="final_ln")(out)

@@ -59,32 +59,38 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _mha_pallas(q, k, v, scale, interpret=False):
-    """Fused attention. q,k,v: [B, N, H, Dh]."""
-    b, n, h, d = q.shape
+    """Fused attention. q: [B, Nq, H, Dh]; k, v: [B, Nk, H, Dh] (cross-attention
+    supported — LoftUp attends ~200k image-coordinate queries to 1k low-res
+    feature keys, reference: core/model/upsamplers/loftup/layers.py:177-202)."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
     bq = 128
-    n_pad = -(-n // bq) * bq
+    nq_pad = -(-nq // bq) * bq
+    nk_pad = -(-nk // 128) * 128
 
-    def to_bh(x):
+    def to_bh(x, n, n_pad):
         x = jnp.moveaxis(x, 2, 1).reshape(b * h, n, d)
         return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
 
-    qf, kf, vf = to_bh(q), to_bh(k), to_bh(v)
+    qf = to_bh(q, nq, nq_pad)
+    kf = to_bh(k, nk, nk_pad)
+    vf = to_bh(v, nk, nk_pad)
 
-    grid = (b * h, n_pad // bq)
+    grid = (b * h, nq_pad // bq)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_valid=n),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        functools.partial(_attn_kernel, scale=scale, n_valid=nk),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_pad, d), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qf, kf, vf)
 
-    out = out[:, :n].reshape(b, h, n, d)
+    out = out[:, :nq].reshape(b, h, nq, d)
     return jnp.moveaxis(out, 1, 2)
 
 

@@ -29,6 +29,9 @@ _STUBS = (
     "torch.utils.tensorboard",
     "torchvision",
     "torchvision.transforms",
+    # the CLIP BPE tokenizer needs the `regex` package and a vocab file; tests
+    # never tokenize text, so stub the whole module
+    "core.model.featurizers.maskclip.simple_tokenizer",
 )
 
 
@@ -51,11 +54,42 @@ def setup_reference():
         om.DictConfig = dict
         om.OmegaConf = type("OmegaConf", (), {})
         om.ListConfig = list
+    mm = sys.modules["mmcv.cnn"]
+    if not hasattr(mm, "ConvModule"):
+        import torch.nn as _tnn
+
+        class _ConvModule(_tnn.Module):
+            """Minimal stand-in for mmcv ConvModule's default config:
+            conv (bias) + ReLU, no norm — all the reference heads use."""
+
+            def __init__(self, in_channels, out_channels, kernel_size,
+                         stride=1, padding=0):
+                super().__init__()
+                self.conv = _tnn.Conv2d(in_channels, out_channels, kernel_size,
+                                        stride=stride, padding=padding)
+                self.activate = _tnn.ReLU(inplace=True)
+
+            def forward(self, x):
+                return self.activate(self.conv(x))
+
+        mm.ConvModule = _ConvModule
+        sys.modules["mmcv"].cnn = mm
+    st = sys.modules["core.model.featurizers.maskclip.simple_tokenizer"]
+    if not hasattr(st, "SimpleTokenizer"):
+        st.SimpleTokenizer = lambda *a, **k: None
     tv = sys.modules["torchvision.transforms"]
     if not hasattr(tv, "Compose"):
         for sym in ("CenterCrop", "Compose", "Normalize", "Resize", "ToTensor",
                     "InterpolationMode"):
-            setattr(tv, sym, type(sym, (), {"BICUBIC": 3}))
+            setattr(
+                tv,
+                sym,
+                type(sym, (), {
+                    "BICUBIC": 3,
+                    "__init__": lambda self, *a, **k: None,
+                    "__call__": lambda self, x, *a, **k: x,
+                }),
+            )
         sys.modules["torchvision"].transforms = tv
     tb = sys.modules["torch.utils.tensorboard"]
     if not hasattr(tb, "SummaryWriter"):

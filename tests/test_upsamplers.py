@@ -1,0 +1,116 @@
+"""Upsampler parity (LiFT, LoftUp vs reference torch modules) and JBU behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.reference_oracle import setup_reference
+
+HAS_REF = setup_reference()
+
+from isegprobe_tpu.models.upsamplers.basic import BilinearUpsampler  # noqa: E402
+from isegprobe_tpu.models.upsamplers.jbu import JBUFeatUpUpsampler  # noqa: E402
+from isegprobe_tpu.models.upsamplers.lift import LiFTUpsampler  # noqa: E402
+from isegprobe_tpu.models.upsamplers.loftup import LoftUpUpsampler  # noqa: E402
+
+
+def test_bilinear_upsampler_shape():
+    up = BilinearUpsampler()
+    src = jnp.ones((1, 4, 4, 8))
+    guide = jnp.ones((1, 56, 56, 3))
+    assert up(src, guide).shape == (1, 56, 56, 8)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference tree unavailable")
+def test_lift_parity():
+    import torch
+
+    from core.model.upsamplers.LiFT import LiFT
+    from isegprobe_tpu.models.convert import convert_lift
+
+    torch.manual_seed(0)
+    tm = LiFT(in_channels=64, patch_size=14).eval()
+    # randomize BN stats so the frozen-BN path is actually exercised
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((1, 8, 8, 64), dtype=np.float32)
+    img = rng.random((1, 112, 112, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(np.moveaxis(img, -1, 1).copy()),
+            torch.from_numpy(np.moveaxis(src, -1, 1).copy()),
+        ).numpy()
+    want = np.moveaxis(want, 1, -1)
+
+    jm = LiFTUpsampler(n_dim=64, patch=14)
+    params = convert_lift(tm.state_dict())
+    got = np.asarray(jm.apply({"params": params}, jnp.asarray(src), jnp.asarray(img)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference tree unavailable")
+def test_loftup_parity():
+    import torch
+
+    from core.model.upsamplers.loftup.layers import ChannelNorm
+    from core.model.upsamplers.loftup.loftup import LoftUp, UpsamplerwithChannelNorm
+    from isegprobe_tpu.models.convert import convert_loftup
+
+    torch.manual_seed(1)
+    dim = 64
+    tm = UpsamplerwithChannelNorm(
+        LoftUp(dim, lr_pe_type="sine", lr_size=16), ChannelNorm(dim)
+    ).eval()
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+
+    rng = np.random.default_rng(1)
+    src = rng.standard_normal((1, 8, 8, dim), dtype=np.float32)
+    img = rng.random((1, 56, 56, 3), dtype=np.float32)
+
+    with torch.no_grad():
+        want = tm(
+            torch.from_numpy(np.moveaxis(src, -1, 1).copy()),
+            torch.from_numpy(np.moveaxis(img, -1, 1).copy()),
+        ).numpy()
+    want = np.moveaxis(want, 1, -1)
+
+    jm = LoftUpUpsampler(n_dim=dim, attn_impl="jnp")
+    params = convert_loftup(tm.upsampler.state_dict(), tm.channelnorm.state_dict())
+    got = np.asarray(jm.apply({"params": params}, jnp.asarray(src), jnp.asarray(img)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_jbu_shapes_and_finiteness():
+    rng = np.random.default_rng(2)
+    src = jnp.asarray(rng.standard_normal((1, 4, 4, 32), dtype=np.float32))
+    img = jnp.asarray(rng.random((1, 56, 56, 3), dtype=np.float32))
+    up = JBUFeatUpUpsampler()
+    params = up.init(jax.random.PRNGKey(0), src, img)["params"]
+    out = up.apply({"params": params}, src, img)
+    assert out.shape == (1, 64, 64, 32)  # x16
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_jbu_uniform_guidance_preserves_constant_features():
+    """With constant source, any normalized kernel must reproduce it."""
+    src = jnp.ones((1, 4, 4, 8)) * 3.0
+    img = jnp.asarray(np.random.default_rng(3).random((1, 64, 64, 3), np.float32))
+    up = JBUFeatUpUpsampler()
+    params = up.init(jax.random.PRNGKey(1), src, img)["params"]
+    # zero the fixup projection so the pure filtering path is isolated
+    params = jax.tree.map(lambda x: x, params)
+    params["fixup_proj"]["kernel"] = jnp.zeros_like(params["fixup_proj"]["kernel"])
+    params["fixup_proj"]["bias"] = jnp.zeros_like(params["fixup_proj"]["bias"])
+    out = up.apply({"params": params}, src, img)
+    np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-5)

@@ -1,0 +1,141 @@
+"""Benchmark: p50 per-click latency of the flagship eval configuration.
+
+Measures the headline SPC metric (seconds-per-click, reference:
+core/inference/utils.py:25-34) on the flagship probe config — DINOv2-S/14 with
+early click injection + 2-layer conv head, fixed 448×448 ZoomIn, horizontal
+flip TTA, exactly the reference's `models/sbd/dinov2/patch-embed_noup.py`
+evaluation path — including the host-side clicker EDT, i.e. the true end-to-end
+per-click wall time a user experiences.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is the speedup vs the PyTorch reference's per-click latency
+measured once on this host (cached in BASELINE_LOCAL.json) — the reference has
+no published numbers (BASELINE.md).
+"""
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_CACHE = Path(__file__).parent / "BASELINE_LOCAL.json"
+N_WARMUP = 3
+N_CLICKS = 30
+
+
+def build_predictor():
+    import jax
+
+    from isegprobe_tpu.inference.predictor import TPUPredictor
+    from isegprobe_tpu.models.probe_model import iSegProbeModel
+
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(448, 448), patch_size=(14, 14), embed_dim=384),
+        ),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=2, num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        use_disks=True,
+        norm_radius=5,
+        with_prev_mask=True,
+    )
+    image = np.zeros((1, 448, 448, 4), dtype=np.float32)
+    points = np.full((1, 40, 3), -1.0, dtype=np.float32)
+    params = model.init(jax.random.PRNGKey(0), image, points)["params"]
+    return TPUPredictor(model, params, target_size=(448, 448), with_flip=True,
+                        net_clicks_limit=20)
+
+
+def synthetic_sample(hw=(480, 640)):
+    rng = np.random.default_rng(0)
+    h, w = hw
+    img = (rng.random((h, w, 3)) * 80).astype(np.uint8)
+    gt = np.zeros((h, w), dtype=np.int32)
+    gt[h // 4 : 3 * h // 4, w // 4 : 3 * w // 4] = 1
+    img[gt == 1] = [190, 170, 80]
+    return img, gt
+
+
+def measure_ours() -> list:
+    from isegprobe_tpu.inference.clicker import Clicker
+
+    predictor = build_predictor()
+    img, gt = synthetic_sample()
+
+    # warmup: compile the click step (covers both ROI-shape branches)
+    predictor.set_input_image(img)
+    clicker = Clicker(gt_mask=gt)
+    pred_mask = np.zeros_like(gt, dtype=bool)
+    for _ in range(N_WARMUP):
+        clicker.make_next_click(pred_mask)
+        probs = predictor.get_prediction(clicker)
+        pred_mask = probs > 0.49
+
+    predictor.set_input_image(img)
+    clicker = Clicker(gt_mask=gt)
+    pred_mask = np.zeros_like(gt, dtype=bool)
+    times = []
+    for _ in range(N_CLICKS):
+        t0 = time.perf_counter()
+        clicker.make_next_click(pred_mask)
+        probs = predictor.get_prediction(clicker)
+        pred_mask = probs > 0.49
+        times.append(time.perf_counter() - t0)
+    return times
+
+
+def measure_torch_baseline() -> float:
+    """One-off reference measurement (cached): the same arch in torch on this
+    host. Returns p50 seconds per forward-equivalent click."""
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())["torch_p50_s"]
+    try:
+        import torch
+
+        torch.set_num_threads(8)
+        import sys
+
+        sys.path.insert(0, str(Path(__file__).parent / "tests"))
+        from reference_oracle import setup_reference
+
+        if not setup_reference():
+            return float("nan")
+        from core.model.featurizers.DINOv2 import DinoVisionTransformer
+
+        m = DinoVisionTransformer(img_size=518, patch_size=14, embed_dim=384,
+                                  depth=12, num_heads=6, init_values=1.0).eval()
+        x = torch.randn(2, 3, 448, 448)  # flip-TTA batch of 2
+        with torch.no_grad():
+            m.forward_features(x)  # warmup
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                m.forward_features(x)
+                times.append(time.perf_counter() - t0)
+        p50 = float(np.median(times))
+        BASELINE_CACHE.write_text(json.dumps({"torch_p50_s": p50}))
+        return p50
+    except Exception:
+        return float("nan")
+
+
+def main():
+    times = measure_ours()
+    p50_ms = float(np.median(times) * 1000)
+    baseline_s = measure_torch_baseline()
+    vs = (baseline_s * 1000 / p50_ms) if np.isfinite(baseline_s) else None
+    print(json.dumps({
+        "metric": "p50_per_click_latency",
+        "value": round(p50_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

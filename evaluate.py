@@ -1,0 +1,151 @@
+"""Evaluation CLI (reference: evaluate.py:30-212).
+
+Loops datasets × checkpoints, builds the TPU predictor with the fixed-ZoomIn
+protocol, runs the NoC evaluation, prints/saves the results table.
+
+Usage:
+    python evaluate.py checkpoint=/path/to/ckpt datasets=GrabCut,Berkeley \
+        eval_mode=fixed448 [key=value overrides...]
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from isegprobe_tpu.inference.evaluation import evaluate_dataset
+from isegprobe_tpu.inference.metrics import (
+    compute_noc_metric,
+    get_results_table,
+    get_time_metrics,
+    miou_at_k,
+)
+from isegprobe_tpu.inference.predictor import TPUPredictor
+from isegprobe_tpu.utils.config import load_config, load_yaml
+from isegprobe_tpu.utils.serialization import (
+    build_model,
+    load_checkpoint,
+    merge_params,
+)
+
+
+def get_dataset(dataset_name: str, main_cfg):
+    """(reference: core/inference/utils.py:86-104)"""
+    from isegprobe_tpu.data.datasets import (
+        BerkeleyDataset,
+        DavisDataset,
+        GrabCutDataset,
+        PascalVocDataset,
+        SBDEvaluationDataset,
+    )
+
+    paths = main_cfg.DATASETS
+    if dataset_name == "GrabCut":
+        return GrabCutDataset(paths.GRABCUT_PATH)
+    if dataset_name == "Berkeley":
+        return BerkeleyDataset(paths.BERKELEY_PATH)
+    if dataset_name == "DAVIS":
+        return DavisDataset(paths.DAVIS_PATH)
+    if dataset_name == "SBD":
+        return SBDEvaluationDataset(paths.SBD_PATH)
+    if dataset_name == "SBD_Train":
+        return SBDEvaluationDataset(paths.SBD_PATH, split="train")
+    if dataset_name == "PascalVOC":
+        return PascalVocDataset(paths.PASCALVOC_PATH, split="test")
+    if dataset_name == "COCO_MVal":
+        return DavisDataset(paths.COCO_MVAL_PATH)
+    raise NotImplementedError(f"Dataset key: {dataset_name} is not found.")
+
+
+def get_zoomin_params(eval_cfg, dataset_name):
+    """(reference: core/inference/utils.py:301-320)"""
+    if eval_cfg.eval_mode == "cvpr":
+        return {
+            "skip_clicks": -1,
+            "target_size": (672, 672) if dataset_name == "DAVIS" else (448, 448),
+        }
+    if eval_cfg.eval_mode.startswith("fixed"):
+        crop = eval_cfg.eval_mode.split(",")
+        h = int(crop[0][5:])
+        w = int(crop[1]) if len(crop) == 2 else h
+        return {"skip_clicks": -1, "target_size": (h, w)}
+    raise NotImplementedError(f"Unknown eval_mode: {eval_cfg.eval_mode}")
+
+
+def load_model_for_eval(checkpoint_path: str, eval_cfg):
+    import jax
+
+    params, config, _ = load_checkpoint(checkpoint_path)
+    model = build_model(config)
+    # fresh init (frozen/pretrained modules), overlaid with the checkpoint
+    h = w = 448
+    n_ch = 4 if config["params"].get("with_prev_mask") else 3
+    image = np.zeros((1, h, w, n_ch), dtype=np.float32)
+    points = np.full((1, 40, 3), -1.0, dtype=np.float32)
+    full = model.init(jax.random.PRNGKey(0), image, points)["params"]
+    return model, merge_params(full, params)
+
+
+def main() -> None:
+    overrides = [a for a in sys.argv[1:] if "=" in a]
+    eval_cfg = load_config("configs/eval_cfg.yaml", overrides)
+    main_cfg = load_yaml(eval_cfg.main_cfg_path)
+
+    if (eval_cfg.iou_analysis or eval_cfg.print_ious) and eval_cfg.min_n_clicks <= 1:
+        eval_cfg.target_iou = 1.01
+    else:
+        eval_cfg.target_iou = max(0.8, eval_cfg.target_iou)
+
+    logs_path = Path(eval_cfg.logs_path or
+                     Path(main_cfg.EXPS_PATH) / "evaluation_logs")
+    logs_path.mkdir(parents=True, exist_ok=True)
+
+    assert eval_cfg.mode == "NoBRS", (
+        "all reference experiments use NoBRS; BRS modes are not implemented"
+    )
+
+    print_header = True
+    for dataset_name in eval_cfg.datasets.split(","):
+        dataset = get_dataset(dataset_name, main_cfg)
+        zoomin_params = get_zoomin_params(eval_cfg, dataset_name)
+
+        model, params = load_model_for_eval(eval_cfg.checkpoint, eval_cfg)
+        predictor = TPUPredictor(
+            model,
+            params,
+            target_size=zoomin_params["target_size"],
+            skip_clicks=zoomin_params["skip_clicks"],
+            with_flip=True,
+            net_clicks_limit=(eval_cfg.clicks_limit or eval_cfg.n_clicks),
+        )
+
+        all_ious, elapsed = evaluate_dataset(
+            dataset,
+            predictor,
+            max_iou_thr=eval_cfg.target_iou,
+            pred_thr=eval_cfg.thresh,
+            min_clicks=eval_cfg.min_n_clicks,
+            max_clicks=eval_cfg.n_clicks,
+        )
+
+        noc, noc_std, over_max = compute_noc_metric(
+            all_ious, iou_thrs=[0.8, 0.85, 0.9], max_clicks=eval_cfg.n_clicks
+        )
+        spc, spi = get_time_metrics(all_ious, elapsed)
+        table = get_results_table(
+            noc, over_max, eval_cfg.mode, dataset_name, spc, elapsed,
+            n_clicks=eval_cfg.n_clicks,
+            model_name=eval_cfg.model_name or str(eval_cfg.checkpoint),
+            print_header=print_header,
+        )
+        print(table)
+        if eval_cfg.print_ious:
+            miou = miou_at_k(all_ious, eval_cfg.n_clicks)
+            print("mIoU@k:", " ".join(f"{v:.3f}" for v in miou))
+        with open(logs_path / "results.txt", "a") as f:
+            f.write(table + "\n")
+        print_header = False
+
+
+if __name__ == "__main__":
+    main()

@@ -16,3 +16,10 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU matmuls/convs default to bfloat16 input truncation; NoC parity with the
+# reference (torch f32) requires full f32 precision when inputs are f32.
+# bfloat16-dtype modules are unaffected (bf16 inputs stay one-pass fast).
+_jax.config.update("jax_default_matmul_precision", "float32")

@@ -1,0 +1,272 @@
+"""TPU predictor: the reference's per-click pipeline as one compiled program.
+
+The reference BasePredictor + transform chain (reference:
+core/inference/predictors/base_predictor.py:67-108, transforms/zoom_in.py,
+flip.py, base_transform.py) performs per click: concat prev-mask channel →
+ZoomIn crop+resize → (optional) horizontal-flip batch doubling → model forward
+→ resize → inverse flip (logit average) → sigmoid → inverse ZoomIn paste —
+with 4+ host↔device round-trips. Here the entire chain is a single jitted
+function over a padded full-frame image (SURVEY.md §7 design delta #1):
+
+    click_step(params, image_pad, roi, points) -> full-frame probs
+
+Only the ROI selection logic (a handful of scalar bbox ops that depend on the
+thresholded previous mask, reference: zoom_in.py:59-97, 196-253) stays on the
+host, where the mask is needed anyway for the clicker protocol.
+
+Static shapes: images are zero-padded to 64-pixel buckets (one compile per
+bucket), clicks to a fixed ``net_clicks_limit`` budget with (−1,−1,−1) rows —
+the same padding convention the reference uses (base_predictor.py:194-225).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isegprobe_tpu.inference.clicker import Click, Clicker
+from isegprobe_tpu.ops.sample import crop_resize, inverse_paste
+from isegprobe_tpu.utils.misc import (
+    clamp_bbox,
+    expand_bbox,
+    get_bbox_from_mask,
+    get_bbox_iou,
+)
+
+Bbox = Tuple[int, int, int, int]
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return -(-n // step) * step
+
+
+class TPUPredictor:
+    """Stateful per-image predictor with a fully-compiled click step."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        target_size: Tuple[int, int] = (448, 448),
+        skip_clicks: int = -1,
+        expansion_ratio: float = 1.4,
+        min_crop_size: int = 200,
+        recompute_thresh_iou: float = 0.5,
+        prob_thresh: float = 0.50,
+        net_clicks_limit: int = 20,
+        with_flip: bool = True,
+        optimize_after_n_clicks: int = 1,  # parity with predictor_params
+    ) -> None:
+        self.model = model
+        self.params = params
+        self.target_size = tuple(target_size)
+        self.skip_clicks = skip_clicks
+        self.expansion_ratio = expansion_ratio
+        self.min_crop_size = min_crop_size
+        self.recompute_thresh_iou = recompute_thresh_iou
+        self.prob_thresh = prob_thresh
+        self.net_clicks_limit = net_clicks_limit
+        self.with_flip = with_flip
+        self.with_prev_mask = getattr(model, "with_prev_mask", False)
+
+        self.original_image = None  # device array [1, Hp, Wp, 3]
+        self.image_hw: Tuple[int, int] = (0, 0)
+        self.pad_hw: Tuple[int, int] = (0, 0)
+        self.prev_prediction: Optional[np.ndarray] = None  # host [H, W]
+        self._object_roi: Optional[Bbox] = None
+        self._roi_version = 0  # bumped when the ROI changes (cache invalidation)
+
+        self._step = jax.jit(self._click_step_fn)
+
+    # ------------------------------------------------------------------
+    # compiled step
+    # ------------------------------------------------------------------
+
+    def _click_step_fn(self, params, image_pad, prev_pad, roi, points):
+        """image_pad [1,Hp,Wp,3] f32 in [0,1]; prev_pad [1,Hp,Wp,1];
+        roi int32 [4]; points [1, 2N, 3] full-frame coords."""
+        oh, ow = self.target_size
+
+        inp = image_pad
+        if self.with_prev_mask:
+            inp = jnp.concatenate([image_pad, prev_pad], axis=-1)
+        crop = crop_resize(inp, roi, (oh, ow))  # [1, oh, ow, C]
+
+        # remap clicks into crop coordinates (reference: zoom_in.py:181-193)
+        rmin, rmax, cmin, cmax = [roi[i].astype(jnp.float32) for i in range(4)]
+        rh = rmax - rmin + 1.0
+        rw = cmax - cmin + 1.0
+        yxi = points.astype(jnp.float32)
+        valid = jnp.max(yxi[..., :2], axis=-1) >= 0
+        new_y = oh * (yxi[..., 0] - rmin) / rh
+        new_x = ow * (yxi[..., 1] - cmin) / rw
+        pts = jnp.stack([new_y, new_x, yxi[..., 2]], axis=-1)
+        pts = jnp.where(valid[..., None], pts, -1.0)
+
+        if self.with_flip:
+            # batch-double with a width flip; flipped click x' = W - x - 1
+            # (reference: transforms/flip.py:12-45)
+            crop2 = jnp.concatenate([crop, crop[:, :, ::-1]], axis=0)
+            fx = ow - pts[..., 1] - 1.0
+            pts_f = jnp.stack([pts[..., 0], fx, pts[..., 2]], axis=-1)
+            pts_f = jnp.where(valid[..., None], pts_f, -1.0)
+            pts2 = jnp.concatenate([pts, pts_f], axis=0)
+            logits = self.model.apply({"params": params}, crop2, pts2)["instances"]
+            logits = 0.5 * (logits[:1] + logits[1:, :, ::-1])
+        else:
+            logits = self.model.apply({"params": params}, crop, pts)["instances"]
+
+        probs = jax.nn.sigmoid(logits)
+        return inverse_paste(probs, roi, prev_pad)
+
+    # ------------------------------------------------------------------
+    # host-side protocol
+    # ------------------------------------------------------------------
+
+    def set_input_image(self, image: np.ndarray) -> None:
+        """image: [H, W, 3] uint8 or float in [0, 1]."""
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        h, w = image.shape[:2]
+        hp, wp = _bucket(h), _bucket(w)
+        pad = np.zeros((1, hp, wp, 3), dtype=np.float32)
+        pad[0, :h, :w] = image
+        self.original_image = jnp.asarray(pad)
+        self.image_hw = (h, w)
+        self.pad_hw = (hp, wp)
+        self.prev_prediction = np.zeros((h, w), dtype=np.float32)
+        self._object_roi = None
+        self._roi_version += 1
+
+    def _compute_roi(self, clicks_list: List[Click]) -> Bbox:
+        """ZoomIn ROI state machine (reference: zoom_in.py:51-97)."""
+        h, w = self.image_hw
+        full: Bbox = (0, h - 1, 0, w - 1)
+        if len(clicks_list) <= max(self.skip_clicks, 0) and self.skip_clicks >= 0:
+            return full
+
+        current = None
+        pred_mask = self.prev_prediction > self.prob_thresh
+        if pred_mask.any():
+            pm = pred_mask.copy()
+            for click in clicks_list:
+                if click.is_positive:
+                    pm[int(click.coords[0]), int(click.coords[1])] = True
+            bbox = get_bbox_from_mask(pm)
+            bbox = expand_bbox(bbox, self.expansion_ratio, self.min_crop_size)
+            current = clamp_bbox(bbox, 0, h - 1, 0, w - 1)
+
+        if current is None:
+            if self.skip_clicks >= 0:
+                return full
+            current = full
+
+        update = self._object_roi is None
+        if not update and not _clicks_inside(self._object_roi, clicks_list):
+            update = True
+        if not update and (
+            get_bbox_iou(current, self._object_roi) < self.recompute_thresh_iou
+        ):
+            update = True
+        if update:
+            self._object_roi = current
+            self._roi_version += 1
+        return self._object_roi
+
+    def get_points_nd(self, clicks_list: List[Click]) -> np.ndarray:
+        """Pad clicks into the fixed [1, 2N, 3] buffer, positives first
+        (reference: base_predictor.py:194-225)."""
+        n = self.net_clicks_limit
+        clicks_list = clicks_list[:n]
+        points = np.full((1, 2 * n, 3), -1.0, dtype=np.float32)
+        pi = ni = 0
+        for click in clicks_list:
+            if click.is_positive:
+                points[0, pi] = click.coords_and_indx
+                pi += 1
+            else:
+                points[0, n + ni] = click.coords_and_indx
+                ni += 1
+        return points
+
+    def get_prediction(self, clicker: Clicker, prev_mask=None) -> np.ndarray:
+        clicks_list = clicker.get_clicks()
+        roi = self._compute_roi(clicks_list)
+        points = self.get_points_nd(clicks_list)
+
+        h, w = self.image_hw
+        hp, wp = self.pad_hw
+        prev = self.prev_prediction if prev_mask is None else prev_mask
+        prev_pad = np.zeros((1, hp, wp, 1), dtype=np.float32)
+        prev_pad[0, :h, :w, 0] = prev
+
+        probs_pad = self._step(
+            self.params,
+            self.original_image,
+            jnp.asarray(prev_pad),
+            jnp.asarray(np.asarray(roi, dtype=np.int32)),
+            jnp.asarray(points),
+        )
+        probs = np.asarray(probs_pad)[0, :h, :w, 0]
+        self.prev_prediction = probs
+        return probs
+
+    def get_lowres_highres_feats(self, clicker: Clicker):
+        """Feature-probe path (reference: base_predictor.py:110-147)."""
+        clicks_list = clicker.get_clicks()
+        roi = self._compute_roi(clicks_list)
+        points = self.get_points_nd(clicks_list)
+        h, w = self.image_hw
+        hp, wp = self.pad_hw
+        prev_pad = np.zeros((1, hp, wp, 1), dtype=np.float32)
+        prev_pad[0, :h, :w, 0] = self.prev_prediction
+
+        oh, ow = self.target_size
+        inp = self.original_image
+        if self.with_prev_mask:
+            inp = jnp.concatenate([inp, jnp.asarray(prev_pad)], axis=-1)
+        roi_arr = jnp.asarray(np.asarray(roi, dtype=np.int32))
+        crop = crop_resize(inp, roi_arr, (oh, ow))
+
+        rmin, rmax, cmin, cmax = roi
+        pts = points.copy()
+        valid = pts[..., :2].max(-1) >= 0
+        pts[..., 0] = np.where(valid, oh * (pts[..., 0] - rmin) / (rmax - rmin + 1), -1)
+        pts[..., 1] = np.where(valid, ow * (pts[..., 1] - cmin) / (cmax - cmin + 1), -1)
+
+        return self.model.apply(
+            {"params": self.params},
+            crop,
+            jnp.asarray(pts),
+            method=self.model.get_lowres_highres_feats,
+        )
+
+    # -- state protocol for the demo's undo (reference: base_predictor.py:227-235)
+
+    def get_states(self) -> Dict:
+        return {
+            "object_roi": self._object_roi,
+            "prev_prediction": None
+            if self.prev_prediction is None
+            else self.prev_prediction.copy(),
+        }
+
+    def set_states(self, states: Dict) -> None:
+        self._object_roi = states["object_roi"]
+        self.prev_prediction = states["prev_prediction"]
+        self._roi_version += 1
+
+
+def _clicks_inside(object_roi: Bbox, clicks_list: List[Click]) -> bool:
+    """reference: zoom_in.py:243-253 (note the half-open upper bound)."""
+    for click in clicks_list:
+        if click.is_positive:
+            if not (object_roi[0] <= click.coords[0] < object_roi[1]):
+                return False
+            if not (object_roi[2] <= click.coords[1] < object_roi[3]):
+                return False
+    return True

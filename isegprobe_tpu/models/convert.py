@@ -128,6 +128,37 @@ def convert_loftup(upsampler_sd: Mapping, channelnorm_sd: Mapping,
     }
 
 
+def convert_clip_visual(state_dict: Mapping, layers: int = 12) -> Dict:
+    """CLIP visual-tower torch state dict -> CLIPVisionTransformer params.
+
+    Accepts either full-CLIP keys ('visual.conv1.weight', ...) or
+    visual-only keys (reference loads full CLIP, maskclip/model.py:286-320).
+    """
+    sd = {k.removeprefix("visual."): v for k, v in dict(state_dict).items()}
+    params: Dict[str, Any] = {
+        "conv1": {"kernel": _to_np(sd["conv1.weight"]).transpose(2, 3, 1, 0)},
+        "class_embedding": _to_np(sd["class_embedding"]),
+        "positional_embedding": _to_np(sd["positional_embedding"]),
+        "ln_pre": _layernorm(sd, "ln_pre"),
+        "ln_post": _layernorm(sd, "ln_post"),
+        "proj": _to_np(sd["proj"]),
+    }
+    for i in range(layers):
+        p = f"transformer.resblocks.{i}"
+        params[f"resblocks_{i}"] = {
+            "ln_1": _layernorm(sd, f"{p}.ln_1"),
+            "ln_2": _layernorm(sd, f"{p}.ln_2"),
+            "attn": {
+                "in_proj_weight": _to_np(sd[f"{p}.attn.in_proj_weight"]),
+                "in_proj_bias": _to_np(sd[f"{p}.attn.in_proj_bias"]),
+                "out_proj": _linear(sd, f"{p}.attn.out_proj"),
+            },
+            "c_fc": _linear(sd, f"{p}.mlp.c_fc"),
+            "c_proj": _linear(sd, f"{p}.mlp.c_proj"),
+        }
+    return params
+
+
 def convert_vit(state_dict: Mapping, depth: int, layerscale: bool = False) -> Dict:
     """Convert a DINO/DINOv2-family torch ViT state dict to our ViT params.
 

@@ -1,0 +1,208 @@
+"""MaskCLIP featurizer: dense CLIP features via the value-projection trick
+(reference: core/model/featurizers/MaskCLIP.py:13-92, maskclip/model.py:225-432,
+maskclip/interpolate.py:5-60).
+
+CLIP's ViT differs from the DINO family: pre-LN stem (ln_pre), QuickGELU MLP,
+torch-MultiheadAttention packed projections, a 2-D positional embedding without
+a batch dim, and a final ln_post + linear projection to the shared space. Dense
+per-patch features run blocks 0..L-2 normally and replace the last block by its
+value path only: out_proj(v_proj(ln_1(x))) — no attention, no residual
+(model.py:251-264). Param names mirror the CLIP checkpoint for mechanical
+conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from isegprobe_tpu.ops.attention import mha
+from isegprobe_tpu.ops.resize import resize
+
+CLIP_ARCHS = {
+    # ViT-B/16: the only arch the reference supports (model_builder.py:29-33)
+    "ViT-B/16": dict(patch_size=16, width=768, layers=12, heads=12,
+                     output_dim=512, pretrain_grid=14),
+}
+
+
+class _CLIPAttention(nn.Module):
+    """torch nn.MultiheadAttention layout: packed in_proj + out_proj."""
+
+    width: int
+    heads: int
+    attn_impl: str = "auto"
+
+    def setup(self):
+        d = self.width
+        self.in_proj_weight = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (3 * d, d)
+        )
+        self.in_proj_bias = self.param("in_proj_bias", nn.initializers.zeros,
+                                       (3 * d,))
+        self.out_proj = nn.Dense(d, name="out_proj")
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = self.width
+        dh = d // self.heads
+        qkv = x @ self.in_proj_weight.T + self.in_proj_bias
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, n, _ = x.shape
+        out = mha(
+            q.reshape(b, n, self.heads, dh),
+            k.reshape(b, n, self.heads, dh),
+            v.reshape(b, n, self.heads, dh),
+            scale=dh**-0.5,
+            impl=self.attn_impl,
+        ).reshape(b, n, d)
+        return self.out_proj(out)
+
+    def value_path(self, x: jnp.ndarray) -> jnp.ndarray:
+        """out_proj(v_proj(x)) — the MaskCLIP dense trick (model.py:251-264)."""
+        d = self.width
+        v = x @ self.in_proj_weight[2 * d :].T + self.in_proj_bias[2 * d :]
+        return self.out_proj(v)
+
+
+class _CLIPBlock(nn.Module):
+    width: int
+    heads: int
+    attn_impl: str = "auto"
+
+    def setup(self):
+        self.ln_1 = nn.LayerNorm(epsilon=1e-5, name="ln_1")
+        self.attn = _CLIPAttention(self.width, self.heads, self.attn_impl,
+                                   name="attn")
+        self.ln_2 = nn.LayerNorm(epsilon=1e-5, name="ln_2")
+        self.c_fc = nn.Dense(self.width * 4, name="c_fc")
+        self.c_proj = nn.Dense(self.width, name="c_proj")
+
+    def _mlp(self, x):
+        h = self.c_fc(x)
+        h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU (model.py:220-222)
+        return self.c_proj(h)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x + self.attn(self.ln_1(x))
+        x = x + self._mlp(self.ln_2(x))
+        return x
+
+    def forward_v(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.attn.value_path(self.ln_1(x))
+
+
+class CLIPVisionTransformer(nn.Module):
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+    pretrain_grid: int = 14
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    def setup(self):
+        w = self.width
+        self.conv1 = nn.Conv(w, (self.patch_size, self.patch_size),
+                             strides=self.patch_size, use_bias=False,
+                             padding="VALID", dtype=self.dtype, name="conv1")
+        self.class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(w**-0.5), (w,)
+        )
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(w**-0.5),
+            (self.pretrain_grid**2 + 1, w),
+        )
+        self.ln_pre = nn.LayerNorm(epsilon=1e-5, name="ln_pre")
+        self.resblocks = [
+            _CLIPBlock(w, self.heads, self.attn_impl, name=f"resblocks_{i}")
+            for i in range(self.layers)
+        ]
+        self.ln_post = nn.LayerNorm(epsilon=1e-5, name="ln_post")
+        self.proj = self.param(
+            "proj", nn.initializers.normal(w**-0.5), (w, self.output_dim)
+        )
+
+    def embed_patches(self, x: jnp.ndarray) -> jnp.ndarray:
+        """NHWC image -> patch tokens [B, N, width]."""
+        b = x.shape[0]
+        t = self.conv1(x)
+        return t.reshape(b, -1, self.width)
+
+    def _interp_pos(self, grid_hw):
+        """+0.1-offset bicubic pos-embed interpolation
+        (maskclip/interpolate.py:5-60)."""
+        gh, gw = grid_hw
+        g0 = self.pretrain_grid
+        pe = self.positional_embedding.astype(jnp.float32)
+        if (gh, gw) == (g0, g0):
+            return pe
+        cls_pe, patch_pe = pe[:1], pe[1:]
+        patch_pe = patch_pe.reshape(1, g0, g0, self.width)
+        scales = ((gh + 0.1) / g0, (gw + 0.1) / g0)
+        patch_pe = resize(patch_pe, (gh, gw), "bicubic", align_corners=False,
+                          scales=scales)
+        return jnp.concatenate(
+            [cls_pe, patch_pe.reshape(gh * gw, self.width)], axis=0
+        )
+
+    def dense_features(self, tokens: jnp.ndarray, grid_hw) -> jnp.ndarray:
+        """tokens [B, N, width] (pre cls/pos) -> dense features [B, N, out]."""
+        b = tokens.shape[0]
+        cls = jnp.broadcast_to(
+            self.class_embedding.astype(tokens.dtype), (b, 1, self.width)
+        )
+        x = jnp.concatenate([cls, tokens], axis=1)
+        x = x + self._interp_pos(grid_hw).astype(x.dtype)
+        x = self.ln_pre(x)
+        for blk in self.resblocks[:-1]:
+            x = blk(x)
+        x = self.resblocks[-1].forward_v(x)
+        x = x[:, 1:]  # drop cls
+        x = self.ln_post(x)
+        return x @ self.proj.astype(x.dtype)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h, w = x.shape[1], x.shape[2]
+        grid_hw = (h // self.patch_size, w // self.patch_size)
+        return self.dense_features(self.embed_patches(x), grid_hw)
+
+
+class MaskCLIPFeaturizer(nn.Module):
+    """Adapter with the three injection modes
+    (reference: MaskCLIP.py:41-92). Output [B, gh, gw, 512]."""
+
+    model_name: str = "ViT-B/16"
+    feats_injection_mode: str = "no_injection"
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    @property
+    def patch_size(self) -> int:
+        return CLIP_ARCHS[self.model_name]["patch_size"]
+
+    def setup(self):
+        if self.model_name not in CLIP_ARCHS:
+            raise ValueError(
+                f"Currently unsupported model_name for MaskCLIP: {self.model_name}"
+            )
+        arch = dict(CLIP_ARCHS[self.model_name])
+        self.model = CLIPVisionTransformer(
+            **arch, dtype=self.dtype, attn_impl=self.attn_impl, name="model"
+        )
+
+    def __call__(self, x, additional_features=None):
+        b, h, w, _ = x.shape
+        gh, gw = h // self.patch_size, w // self.patch_size
+        mode = self.feats_injection_mode
+
+        tokens = self.model.embed_patches(x)
+        if additional_features is not None and mode == "before_backbone":
+            tokens = tokens + additional_features.astype(tokens.dtype)
+        feats = self.model.dense_features(tokens, (gh, gw)).astype(jnp.float32)
+        if additional_features is not None and mode == "after_backbone":
+            feats = feats + additional_features.astype(feats.dtype)
+        return feats.reshape(b, gh, gw, -1)

@@ -33,7 +33,7 @@ class ChannelNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.LayerNorm(name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
 
 class ConvNeXtLayerNorm(nn.Module):
@@ -146,8 +146,8 @@ class CrossAttentionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, query, key_value):
-        q = nn.LayerNorm(name="norm_q")(query)
-        kv = nn.LayerNorm(name="norm_kv")(key_value)
+        q = nn.LayerNorm(epsilon=1e-5, name="norm_q")(query)
+        kv = nn.LayerNorm(epsilon=1e-5, name="norm_kv")(key_value)
         return _TorchMHA(self.dim, self.heads, self.attn_impl, name="attention")(q, kv)
 
 
@@ -157,7 +157,7 @@ class _FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         x = nn.Dense(self.hidden_dim, name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
         return nn.Dense(self.dim, name="fc2")(x)
@@ -176,7 +176,7 @@ class CATransformer(nn.Module):
             query = CrossAttentionLayer(self.dim, self.heads, self.attn_impl,
                                         name=f"ca_{i}")(query, key_value) + query
             query = _FeedForward(self.dim, self.mlp_dim, name=f"ff_{i}")(query) + query
-        return nn.LayerNorm(name="norm")(query)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(query)
 
 
 class _ConvBNRelu(nn.Module):

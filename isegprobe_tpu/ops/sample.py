@@ -1,0 +1,82 @@
+"""Dynamic-ROI crop-resize and inverse paste, jit-compatible.
+
+The reference's ZoomIn transform crops the image to a per-click object ROI,
+resizes to a fixed target (448×448 in all experiments), and inversely pastes
+the predicted probability map back into the full frame (reference:
+core/inference/transforms/zoom_in.py:95-130, 216-240). The crop bounds change
+every click — a dynamic shape. We keep shapes static by expressing both
+directions as bilinear *sampling* at dynamically-computed fractional
+coordinates (gathers with static output shapes), so the whole per-click
+pipeline stays inside one compiled XLA program.
+
+Numerics match torch's align_corners=True interpolation exactly:
+crop-resize out[i] samples at rmin + i·(rh−1)/(oh−1); inverse paste at
+full-frame row y samples the prob map at (y−rmin)·(oh−1)/(rh−1), zero outside
+the ROI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _sample_axis(x: jnp.ndarray, coords: jnp.ndarray, axis: int,
+                 lo, hi) -> jnp.ndarray:
+    """Linearly interpolate x along `axis` at fractional `coords`, clamping
+    the two taps to [lo, hi] (the valid crop range)."""
+    c0 = jnp.clip(jnp.floor(coords), lo, hi)
+    c1 = jnp.clip(c0 + 1, lo, hi)
+    w = jnp.clip(coords - c0, 0.0, 1.0)
+    x0 = jnp.take(x, c0.astype(jnp.int32), axis=axis)
+    x1 = jnp.take(x, c1.astype(jnp.int32), axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = coords.shape[0]
+    w = w.reshape(shape)
+    return x0 * (1.0 - w) + x1 * w
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def crop_resize(img: jnp.ndarray, roi: jnp.ndarray, out_hw: tuple[int, int]):
+    """Crop img [B, H, W, C] to the inclusive ROI (rmin, rmax, cmin, cmax)
+    (int32 [4]) and resize to out_hw with align_corners=True bilinear."""
+    oh, ow = out_hw
+    rmin, rmax, cmin, cmax = [roi[i].astype(jnp.float32) for i in range(4)]
+    ys = rmin + jnp.arange(oh, dtype=jnp.float32) * jnp.where(
+        oh > 1, (rmax - rmin) / (oh - 1), 0.0
+    )
+    xs = cmin + jnp.arange(ow, dtype=jnp.float32) * jnp.where(
+        ow > 1, (cmax - cmin) / (ow - 1), 0.0
+    )
+    x = img.astype(jnp.float32)
+    x = _sample_axis(x, ys, 1, rmin, rmax)
+    x = _sample_axis(x, xs, 2, cmin, cmax)
+    return x
+
+
+@jax.jit
+def inverse_paste(probs: jnp.ndarray, roi: jnp.ndarray, out: jnp.ndarray):
+    """Resize probs [B, oh, ow, C] to the ROI size and paste into a zeroed
+    full-frame buffer shaped like `out` [B, H, W, C]."""
+    b, oh, ow, c = probs.shape
+    h, w = out.shape[1], out.shape[2]
+    rmin, rmax, cmin, cmax = [roi[i].astype(jnp.float32) for i in range(4)]
+    rh = rmax - rmin + 1.0
+    rw = cmax - cmin + 1.0
+
+    y = jnp.arange(h, dtype=jnp.float32)
+    x = jnp.arange(w, dtype=jnp.float32)
+    sy = jnp.where(rh > 1, (y - rmin) * (oh - 1) / jnp.maximum(rh - 1, 1.0), 0.0)
+    sx = jnp.where(rw > 1, (x - cmin) * (ow - 1) / jnp.maximum(rw - 1, 1.0), 0.0)
+
+    p = probs.astype(jnp.float32)
+    p = _sample_axis(p, sy, 1, 0.0, oh - 1)
+    p = _sample_axis(p, sx, 2, 0.0, ow - 1)
+
+    valid = (
+        (y[:, None] >= rmin) & (y[:, None] <= rmax)
+        & (x[None, :] >= cmin) & (x[None, :] <= cmax)
+    )
+    return jnp.where(valid[None, :, :, None], p, 0.0).astype(out.dtype)

@@ -1,0 +1,60 @@
+"""Device mesh + sharding rules — the TPU-native replacement for the
+reference's NCCL/DDP story (reference: core/utils/distributed.py:8-78,
+core/utils/exp.py:33-36; SURVEY.md §2.12).
+
+One `jax.sharding.Mesh` over ICI with a `data` axis carries the reference's
+only parallelism (DDP). Gradients are all-reduced by XLA-inserted collectives
+when the jitted train step consumes a batch sharded on `data` against
+replicated parameters — there is no hand-written communication layer. A
+`model` axis is reserved so tensor parallelism can attach without API changes
+(the reference's ViT-S is far too small to need it).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+    model_parallel: int = 1,
+) -> Mesh:
+    """Mesh over the first `n_devices` devices: (data, model) axes with the
+    model axis defaulting to 1 (pure data parallelism)."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    shape = (n_devices // model_parallel, model_parallel)
+    dev_array = mesh_utils.create_device_mesh(shape, devices[:n_devices])
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch axis over `data`, everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch dict onto the mesh, sharded along the leading axis."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def process_is_master() -> bool:
+    """'rank 0' in the reference's DDP world (distributed.py:8-12)."""
+    return jax.process_index() == 0

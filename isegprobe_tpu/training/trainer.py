@@ -1,0 +1,456 @@
+"""Trainer: pjit-compiled train step over a TPU mesh
+(reference: core/training/trainer.py:30-626).
+
+TPU-first redesign of the reference's training loop:
+
+* The whole step — iterative click simulation (reference: trainer.py:399-442),
+  prev-mask dropout, forward, NFL loss, backward, optimizer — is ONE compiled
+  XLA program. The reference runs the frozen backbone 1+num_iters times per
+  step with a CPU OpenCV EDT round-trip per iteration (trainer.py:585-618);
+  here the corrective clicks are selected by the exact on-device EDT
+  (ops.edt.edt_l2sq_device) and a categorical draw over the inner region, so
+  the device never waits on the host.
+* Data parallelism: the batch is sharded over the mesh's `data` axis and
+  params are replicated; XLA inserts the gradient all-reduce over ICI (the
+  NCCL/DDP replacement, SURVEY.md §2.12).
+* Frozen modules (backbone, upsampler) are split out of the differentiated
+  parameter tree via stop_gradient, so no backward FLOPs are spent on their
+  weight gradients.
+"""
+
+from __future__ import annotations
+
+import logging
+import random as pyrandom
+import time
+from copy import deepcopy
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from isegprobe_tpu.data.loader import DataLoader
+from isegprobe_tpu.ops.edt import edt_l2sq_device
+from isegprobe_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    process_is_master,
+    replicate,
+)
+from isegprobe_tpu.training.optim import make_optimizer, multistep_lr
+from isegprobe_tpu.utils.serialization import (
+    load_checkpoint,
+    merge_params,
+    model_config,
+    save_checkpoint,
+)
+
+logger = logging.getLogger("isegprobe_tpu")
+
+FROZEN_PREFIXES = ("backbone", "upsampler")
+
+
+def split_params(params: Dict, frozen_prefixes=FROZEN_PREFIXES):
+    trainable = {k: v for k, v in params.items() if k not in frozen_prefixes}
+    frozen = {k: v for k, v in params.items() if k in frozen_prefixes}
+    return trainable, frozen
+
+
+def get_next_points_device(
+    prob: jnp.ndarray,
+    gt: jnp.ndarray,
+    points: jnp.ndarray,
+    click_indx: jnp.ndarray,
+    rng: jax.Array,
+    pred_thresh: float = 0.49,
+) -> jnp.ndarray:
+    """On-device corrective-click selection (reference: trainer.py:577-618):
+    EDT of the FN/FP error regions, then a uniform draw from the region deeper
+    than half the max distance. Clicks are written *backwards* into the fixed
+    points tensor at num_points - click_indx, like the reference."""
+    b = prob.shape[0]
+    num_points = points.shape[1] // 2
+    pred = prob[..., 0]
+    gtm = gt[..., 0] > 0.5
+
+    fn = gtm & (pred < pred_thresh)
+    fp = (~gtm) & (pred > pred_thresh)
+    d2 = edt_l2sq_device(jnp.stack([fn, fp], axis=1), pad_border=True)  # [B,2,H,W]
+    fn_d2, fp_d2 = d2[:, 0], d2[:, 1]
+
+    fn_max = jnp.max(fn_d2, axis=(1, 2))
+    fp_max = jnp.max(fp_d2, axis=(1, 2))
+    is_positive = fn_max > fp_max
+    dt = jnp.where(is_positive[:, None, None], fn_d2, fp_d2)
+    max_d2 = jnp.maximum(fn_max, fp_max)
+
+    # squared form of dt_sqrt > max_dist/2
+    inner = dt > (max_d2 / 4.0)[:, None, None]
+    has_any = max_d2 > 0
+
+    h, w = pred.shape[1], pred.shape[2]
+    logits = jnp.where(inner.reshape(b, -1), 0.0, -1e30)
+    idx = jax.random.categorical(rng, logits, axis=-1)
+    y = (idx // w).astype(points.dtype)
+    x = (idx % w).astype(points.dtype)
+
+    row = jnp.where(is_positive, num_points - click_indx,
+                    2 * num_points - click_indx)
+    new_row = jnp.stack([y, x, jnp.full((b,), click_indx, dtype=points.dtype)],
+                        axis=-1)
+
+    def write(pts_b, row_b, val_b, ok_b):
+        return jax.lax.cond(
+            ok_b, lambda p: p.at[row_b].set(val_b), lambda p: p, pts_b
+        )
+
+    return jax.vmap(write)(points, row, new_row, has_any)
+
+
+class iSegTrainer:
+    """Epoch loop with on-device iterative click simulation.
+
+    Mirrors the reference constructor surface (trainer.py:30-53); torch-only
+    arguments (click_models, net_inputs) are accepted for config parity.
+    """
+
+    def __init__(
+        self,
+        model,
+        cfg,
+        loss_cfg: Dict,
+        trainset,
+        valset,
+        optimizer: str = "adam",
+        optimizer_params: Optional[Dict] = None,
+        layerwise_decay: bool = False,
+        image_dump_interval: int = 200,
+        checkpoint_interval: Any = 10,
+        tb_dump_period: int = 25,
+        max_interactive_points: int = 0,
+        lr_scheduler: Optional[Dict] = None,  # {'milestones': [...], 'gamma': g}
+        metrics: Optional[List] = None,
+        additional_val_metrics: Optional[List] = None,
+        net_inputs: Tuple[str, str] = ("images", "points"),
+        max_num_next_clicks: int = 0,
+        click_models=None,
+        prev_mask_drop_prob: float = 0.0,
+        seed: int = -1,
+        mesh=None,
+        dtype=jnp.float32,
+    ) -> None:
+        self.model = model
+        self.cfg = cfg
+        self.loss_cfg = loss_cfg
+        self.val_loss_cfg = deepcopy(loss_cfg)
+        self.max_interactive_points = max_interactive_points
+        self.max_num_next_clicks = max_num_next_clicks
+        self.prev_mask_drop_prob = prev_mask_drop_prob
+        self.checkpoint_interval = checkpoint_interval
+        self.image_dump_interval = image_dump_interval
+        self.tb_dump_period = tb_dump_period
+        self.seed = seed if seed != -1 else 0
+        self.task_prefix = ""
+        self.sw = None
+
+        self.trainset = trainset
+        self.valset = valset
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        batch_size = cfg.dataloader.batch_size
+        val_batch_size = getattr(cfg.dataloader, "val_batch_size", batch_size)
+        workers = getattr(cfg.dataloader, "workers", 4)
+        self.train_data = DataLoader(trainset, batch_size, shuffle=True,
+                                     num_workers=workers, seed=self.seed)
+        self.val_data = DataLoader(valset, val_batch_size, shuffle=False,
+                                   num_workers=workers, seed=self.seed)
+
+        self.train_metrics = metrics or []
+        self.val_metrics = deepcopy(self.train_metrics)
+        if additional_val_metrics:
+            self.val_metrics.extend(additional_val_metrics)
+
+        optimizer_params = dict(optimizer_params or {"lr": 5e-5})
+        self.base_lr = optimizer_params.pop("lr")
+        steps_per_epoch = max(1, len(self.train_data))
+        if lr_scheduler is not None:
+            self.lr_schedule = multistep_lr(
+                self.base_lr, lr_scheduler["milestones"],
+                lr_scheduler.get("gamma", 0.1), steps_per_epoch,
+            )
+        else:
+            self.lr_schedule = self.base_lr
+        self.layerwise_decay = layerwise_decay
+
+        self.tx = make_optimizer(
+            optimizer, self.lr_schedule,
+            trainable_prefixes=("embed_coords", "head", "neck"),
+            **{k: v for k, v in optimizer_params.items()
+               if k in ("betas", "eps", "momentum", "weight_decay")},
+        )
+
+        # -- init params ------------------------------------------------
+        init_rng = jax.random.PRNGKey(self.seed)
+        sample = trainset[0]
+        img = jnp.zeros((1, *sample["images"].shape), dtype)
+        if getattr(model, "with_prev_mask", False):
+            img = jnp.concatenate(
+                [img, jnp.zeros((1, *sample["images"].shape[:2], 1), dtype)], -1
+            )
+        pts = jnp.full((1, *sample["points"].shape), -1.0, dtype)
+        params = model.init(init_rng, img, pts)["params"]
+
+        params = self._load_pretrained(params)
+        if getattr(cfg.training, "weights", None):
+            loaded, _, _ = load_checkpoint(cfg.training.weights)
+            params = merge_params(params, loaded)
+
+        trainable, frozen = split_params(params)
+        self.params = replicate({"trainable": trainable, "frozen": frozen},
+                                self.mesh)
+        self.opt_state = replicate(self.tx.init(trainable), self.mesh)
+        self.rng = jax.random.PRNGKey(self.seed + 1)
+
+        self._train_step = jax.jit(
+            partial(self._step, training=True), donate_argnums=(0, 1)
+        )
+        self._val_step = jax.jit(partial(self._step, training=False))
+
+        self.is_master = process_is_master()
+        self.epoch_losses: List[float] = []
+
+    # -- overridable hook for experiment scripts to convert torch weights --
+    def _load_pretrained(self, params):
+        return params
+
+    # ------------------------------------------------------------------
+    # the compiled step
+    # ------------------------------------------------------------------
+
+    def _forward(self, params_full, images, prev, points):
+        net_input = images
+        if getattr(self.model, "with_prev_mask", False):
+            net_input = jnp.concatenate([images, prev], axis=-1)
+        return self.model.apply({"params": params_full}, net_input, points)
+
+    def _loss(self, outputs, batch):
+        total = 0.0
+        logging_out = {}
+        loss_fn = self.loss_cfg["instance_loss"]
+        weight = self.loss_cfg.get("instance_loss_weight", 1.0)
+        loss, aux = loss_fn(outputs["instances"], batch["instances"])
+        loss = jnp.mean(loss)
+        total = total + weight * loss
+        logging_out["instance_loss"] = loss
+        logging_out.update(aux)
+
+        aux_loss_fn = self.loss_cfg.get("instance_aux_loss")
+        if aux_loss_fn is not None and outputs.get("instances_aux") is not None:
+            w = self.loss_cfg.get("instance_aux_loss_weight", 1.0)
+            aux_loss, _ = aux_loss_fn(outputs["instances_aux"], batch["instances"])
+            aux_loss = jnp.mean(aux_loss)
+            total = total + w * aux_loss
+            logging_out["instance_aux_loss"] = aux_loss
+        return total, logging_out
+
+    def _simulate_clicks(self, params_full, batch, rng, num_iters):
+        """Iterative click refinement (reference: trainer.py:399-442), as a
+        bounded fori_loop with masking — no data-dependent Python control."""
+        images, points = batch["images"], batch["points"]
+        gt = batch["instances"]
+        b = images.shape[0]
+        prev = jnp.zeros((*images.shape[:3], 1), images.dtype)
+
+        if self.max_num_next_clicks == 0:
+            return prev, points, rng
+
+        def body(i, carry):
+            prev, points, rng = carry
+
+            def do(args):
+                prev, points, rng = args
+                rng, k = jax.random.split(rng)
+                out = self._forward(params_full, images, prev, points)
+                prob = jax.nn.sigmoid(out["instances"])
+                points = get_next_points_device(prob, gt, points, i + 1, k)
+                return prob, points, rng
+
+            return jax.lax.cond(i < num_iters, do, lambda a: a,
+                                (prev, points, rng))
+
+        prev, points, rng = jax.lax.fori_loop(
+            0, self.max_num_next_clicks, body, (prev, points, rng)
+        )
+
+        if self.prev_mask_drop_prob > 0:
+            rng, k = jax.random.split(rng)
+            drop = jax.random.bernoulli(k, self.prev_mask_drop_prob, (b, 1, 1, 1))
+            # the reference only drops when at least one click iter ran
+            drop = drop & (num_iters > 0)
+            prev = jnp.where(drop, jnp.zeros_like(prev), prev)
+        return prev, points, rng
+
+    def _step(self, params, opt_state, batch, rng, num_iters, training=True):
+        frozen = jax.lax.stop_gradient(params["frozen"])
+
+        full0 = {**params["trainable"], **frozen}
+        prev, points, rng = self._simulate_clicks(
+            jax.lax.stop_gradient(full0), batch, rng, num_iters
+        )
+        batch = dict(batch, points=points)
+
+        def loss_fn(trainable):
+            outputs = self._forward({**trainable, **frozen},
+                                    batch["images"], prev, batch["points"])
+            total, logging_out = self._loss(outputs, batch)
+            return total, (outputs, logging_out)
+
+        if training:
+            (loss, (outputs, logging_out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params["trainable"])
+            updates, opt_state = self.tx.update(grads, opt_state,
+                                                params["trainable"])
+            trainable = optax.apply_updates(params["trainable"], updates)
+            new_params = {"trainable": trainable, "frozen": params["frozen"]}
+        else:
+            loss, (outputs, logging_out) = loss_fn(params["trainable"])
+            new_params, opt_state = params, opt_state
+
+        logging_out["overall"] = loss
+        return new_params, opt_state, loss, logging_out, outputs["instances"]
+
+    # ------------------------------------------------------------------
+    # epoch loops
+    # ------------------------------------------------------------------
+
+    def run(self, num_epochs: int, start_epoch: Optional[int] = None,
+            validation: bool = True) -> None:
+        if start_epoch is None:
+            start_epoch = getattr(self.cfg.training, "start_epoch", 0)
+        logger.info("Starting Epoch: %d / Total Epochs: %d", start_epoch, num_epochs)
+        for epoch in range(start_epoch, num_epochs):
+            self.training(epoch)
+            if validation:
+                self.validation(epoch)
+
+    def _prep_batch(self, batch_data):
+        sharding = batch_sharding(self.mesh)
+        return jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), sharding), batch_data
+        )
+
+    def training(self, epoch: int) -> None:
+        self._ensure_writer()
+        for metric in self.train_metrics:
+            metric.reset_epoch_stats()
+
+        pyrandom.seed(self.seed + epoch)
+        train_loss = 0.0
+        t0 = time.time()
+        for i, batch_data in enumerate(self.train_data):
+            global_step = epoch * len(self.train_data) + i
+            num_iters = pyrandom.randint(0, self.max_num_next_clicks)
+            self.rng, step_rng = jax.random.split(self.rng)
+            batch = self._prep_batch(batch_data)
+
+            self.params, self.opt_state, loss, logging_out, logits = (
+                self._train_step(self.params, self.opt_state, batch, step_rng,
+                                 num_iters)
+            )
+
+            loss_val = float(loss)
+            train_loss += loss_val
+            if self.sw is not None:
+                for k, v in logging_out.items():
+                    self.sw.add_scalar(f"Losses/{k}", float(v), global_step)
+                self.sw.add_scalar(
+                    "States/learning_rate",
+                    float(self.lr_schedule(global_step))
+                    if callable(self.lr_schedule) else self.lr_schedule,
+                    global_step,
+                )
+            for m in self.train_metrics:
+                m.update(np.asarray(logits), np.asarray(batch_data["instances"]))
+
+        elapsed = time.time() - t0
+        n = max(1, len(self.train_data))
+        logger.info("Epoch %d: train loss %.4f (%.1fs, %.2f s/step)",
+                    epoch, train_loss / n, elapsed, elapsed / n)
+        if self.sw is not None:
+            for m in self.train_metrics:
+                self.sw.add_scalar(f"Metrics/{m.name}", m.get_epoch_value(), epoch)
+
+        if self.is_master:
+            self.save_checkpoint(epoch)
+
+    def validation(self, epoch: int) -> None:
+        for metric in self.val_metrics:
+            metric.reset_epoch_stats()
+        val_loss = 0.0
+        count = 0
+        for batch_data in self.val_data:
+            self.rng, step_rng = jax.random.split(self.rng)
+            batch = self._prep_batch(batch_data)
+            num_iters = pyrandom.randint(0, self.max_num_next_clicks)
+            _, _, loss, _, logits = self._val_step(
+                self.params, self.opt_state, batch, step_rng, num_iters
+            )
+            val_loss += float(loss)
+            count += 1
+            for m in self.val_metrics:
+                m.update(np.asarray(logits), np.asarray(batch_data["instances"]))
+        if count:
+            logger.info("Epoch %d: val loss %.4f", epoch, val_loss / count)
+            if self.sw is not None:
+                self.sw.add_scalar("Val/loss", val_loss / count, epoch)
+                for m in self.val_metrics:
+                    self.sw.add_scalar(f"Val/{m.name}", m.get_epoch_value(), epoch)
+
+    # ------------------------------------------------------------------
+
+    def _ensure_writer(self):
+        if self.sw is None and self.is_master and getattr(
+            self.cfg, "LOGS_PATH", None
+        ):
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.sw = SummaryWriter(log_dir=str(self.cfg.LOGS_PATH))
+            except ImportError:
+                self.sw = None
+
+    def full_params(self) -> Dict:
+        p = jax.device_get(self.params)
+        return {**p["trainable"], **p["frozen"]}
+
+    def save_checkpoint(self, epoch: Optional[int] = None) -> None:
+        """last_checkpoint + interval-scheduled epoch checkpoints
+        (reference: trainer.py:289-311), filtered by the model's save_cfg."""
+        from isegprobe_tpu.models.probe_model import filter_state_dict
+
+        ckpt_dir = Path(getattr(self.cfg, "CHECKPOINTS_PATH", "./checkpoints"))
+        params = self.full_params()
+        save_cfg = getattr(self.model, "save_cfg", None)
+        filtered = filter_state_dict(params, save_cfg)
+        config = model_config(self.model)
+        extra = {"epoch": epoch}
+
+        save_checkpoint(filtered, config, ckpt_dir / "last_checkpoint.ckpt", extra)
+        if epoch is not None and self._scheduled_epoch(epoch):
+            save_checkpoint(filtered, config, ckpt_dir / f"{epoch:03d}.ckpt", extra)
+
+    def _scheduled_epoch(self, epoch: int) -> bool:
+        ci = self.checkpoint_interval
+        if isinstance(ci, (int, float)):
+            return (epoch + 1) % int(ci) == 0
+        # interval schedule [[start_epoch, every], ...] (train_cfg.yaml:23)
+        result = False
+        for start, every in ci:
+            if epoch >= start:
+                result = (epoch + 1) % every == 0
+        return result

@@ -1,0 +1,98 @@
+"""Experiment initialization (reference: core/utils/exp.py:18-139).
+
+Builds the run-directory tree mirroring the model-script path
+(models/... -> EXPS_PATH/...), auto-numbers runs as ``XXX_name``, copies the
+model script into the run dir, and wires file logging. The reference's NCCL
+process-group init (exp.py:33-36) has no equivalent — JAX initializes its
+distributed runtime from the environment.
+"""
+
+from __future__ import annotations
+
+import logging
+import shutil
+import sys
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+from isegprobe_tpu.utils.config import EDict, find_main_config, load_yaml
+
+logger = logging.getLogger("isegprobe_tpu")
+
+
+def load_module(script_path: str | Path):
+    """Dynamic import of an experiment model script
+    (reference: core/utils/misc.py:20-25)."""
+    import importlib.util
+
+    script_path = Path(script_path)
+    spec = importlib.util.spec_from_file_location(script_path.stem, script_path)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[script_path.stem] = module
+    spec.loader.exec_module(module)
+    return module
+
+
+def _find_resume_exp(exp_parent_path: Path, exp_pattern: str) -> Path:
+    candidates = sorted(exp_parent_path.glob(f"{exp_pattern}*"))
+    if not candidates:
+        raise FileNotFoundError(
+            f"No experiments matching '{exp_pattern}' under {exp_parent_path}"
+        )
+    if len(candidates) > 1:
+        logger.warning("Multiple resume candidates; using %s", candidates[-1])
+    return candidates[-1]
+
+
+def init_experiment(cfg: EDict, model_name: Optional[str] = None) -> EDict:
+    model_path = Path(cfg.exp.model_path)
+    ftree = model_path.parts
+    if "models" in ftree:
+        idx = len(ftree) - 1 - ftree[::-1].index("models")
+        model_name = model_path.stem
+        rel = Path(*ftree[idx + 1 : -1])
+    else:
+        model_name = model_name or model_path.stem
+        rel = Path()
+
+    # merge machine paths
+    main_cfg_path = find_main_config(model_path.parent) or find_main_config(".")
+    if main_cfg_path is not None:
+        for k, v in load_yaml(main_cfg_path).items():
+            cfg.setdefault(k, v)
+    cfg.EXPS_PATH = Path(cfg.get("EXPS_PATH", "./experiments"))
+
+    exp_parent_path = cfg.EXPS_PATH / rel / model_name
+    exp_parent_path.mkdir(parents=True, exist_ok=True)
+
+    if cfg.training.get("resume_exp"):
+        exp_path = _find_resume_exp(exp_parent_path, cfg.training.resume_exp)
+    else:
+        last_run = max(
+            (int(p.name.split("_")[0]) for p in exp_parent_path.iterdir()
+             if p.is_dir() and p.name.split("_")[0].isdigit()),
+            default=-1,
+        )
+        name = cfg.exp.get("name") or datetime.now().strftime("%Y-%m-%d")
+        exp_path = exp_parent_path / f"{last_run + 1:03d}_{name}"
+        exp_path.mkdir(parents=True)
+
+    cfg.EXP_PATH = exp_path
+    cfg.CHECKPOINTS_PATH = exp_path / "checkpoints"
+    cfg.VIS_PATH = exp_path / "vis"
+    cfg.LOGS_PATH = exp_path / "logs"
+    for p in (cfg.CHECKPOINTS_PATH, cfg.VIS_PATH, cfg.LOGS_PATH):
+        p.mkdir(exist_ok=True)
+
+    if model_path.exists():
+        shutil.copy(model_path, exp_path / model_path.name)
+
+    handler = logging.FileHandler(cfg.LOGS_PATH / "train.log")
+    handler.setFormatter(logging.Formatter(
+        "%(asctime)s %(levelname)s %(message)s"
+    ))
+    logger.addHandler(handler)
+    logger.setLevel(logging.INFO)
+    logger.info("Experiment dir: %s", exp_path)
+    return cfg

@@ -1,0 +1,74 @@
+"""Shared plumbing for experiment model scripts (the reference repeats this
+per script, e.g. models/sbd/dinov2/patch-embed_noup.py:85-150)."""
+
+from isegprobe_tpu.models.probe_model import iSegProbeModel
+from isegprobe_tpu.training.metrics import AdaptiveIoU
+from isegprobe_tpu.training.trainer import iSegTrainer
+from isegprobe_tpu.utils.misc import seed_all
+from models.defaults import (
+    get_loss_cfg,
+    get_lr_scheduler,
+    get_optimizer_cfg,
+    get_sbd_train_val_datasets,
+)
+
+
+def init_model_from_modules_cfg(modules_cfg, cfg, **model_kwargs) -> iSegProbeModel:
+    """(reference: models/sbd/dinov2/patch-embed_noup.py:85-106)"""
+    defaults = dict(use_disks=True, norm_radius=5, with_prev_mask=True)
+    defaults.update(model_kwargs)
+    return iSegProbeModel(
+        backbone_cfg=modules_cfg["backbone"],
+        head_cfg=modules_cfg["head"],
+        embed_coords_cfg=modules_cfg["embed_coords"],
+        neck_cfg=modules_cfg["neck"],
+        upsampler_cfg=modules_cfg["upsampler"],
+        save_cfg=modules_cfg["save"],
+        architecture=modules_cfg["architecture"],
+        **defaults,
+    )
+
+
+def train(model, cfg) -> None:
+    """(reference: models/sbd/dinov2/patch-embed_noup.py:109-142)"""
+    loss_cfg = get_loss_cfg(cfg)
+    trainset, valset = get_sbd_train_val_datasets(cfg)
+    optimizer_name, optimizer_params = get_optimizer_cfg(cfg)
+    lr_scheduler = get_lr_scheduler(cfg)
+
+    trainer = iSegTrainer(
+        model,
+        cfg,
+        loss_cfg,
+        trainset,
+        valset,
+        optimizer=optimizer_name,
+        optimizer_params=optimizer_params,
+        layerwise_decay=False,
+        lr_scheduler=lr_scheduler,
+        checkpoint_interval=[tuple(x) for x in
+                             cfg.training_params.checkpoint_interval],
+        image_dump_interval=300,
+        metrics=[AdaptiveIoU()],
+        max_interactive_points=cfg.training_params.num_max_points,
+        max_num_next_clicks=3,
+        seed=cfg.training.seed,
+    )
+    trainer.run(
+        num_epochs=cfg.training_params.epochs,
+        validation=cfg.training_params.do_validation,
+    )
+
+
+def make_main(define_modules_cfg, **model_kwargs):
+    def main(cfg):
+        seed_all(cfg.training.seed)
+        modules_cfg = define_modules_cfg(cfg)
+        model = init_model_from_modules_cfg(modules_cfg, cfg, **model_kwargs)
+        train(model, cfg)
+
+    return main
+
+
+def default_save_cfg() -> dict:
+    return dict(embed_coords=True, backbone=False, upsampler=False, head=True)

@@ -1,0 +1,134 @@
+"""Trainer on a virtual 8-device CPU mesh: sharded compiled step, frozen-param
+semantics, on-device click simulation, checkpoint round-trip."""
+
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isegprobe_tpu.models.probe_model import iSegProbeModel
+from isegprobe_tpu.training.losses import NormalizedFocalLossSigmoid
+from isegprobe_tpu.training.metrics import AdaptiveIoU
+from isegprobe_tpu.training.trainer import get_next_points_device, iSegTrainer
+
+
+class TinyDataset:
+    """Fixed-size synthetic samples shaped like the SBD training pipeline."""
+
+    def __init__(self, n=16, hw=28, n_points=3):
+        self.n, self.hw, self.n_points = n, hw, n_points
+        self.rng = np.random.default_rng(0)
+        self.items = []
+        for i in range(n):
+            img = self.rng.random((hw, hw, 3), dtype=np.float32)
+            mask = np.zeros((hw, hw, 1), dtype=np.float32)
+            mask[8 : 8 + 12, 6 : 6 + 14] = 1
+            points = np.full((2 * n_points, 3), -1.0, dtype=np.float32)
+            points[0] = [12, 10, 0]
+            self.items.append({"images": img, "points": points, "instances": mask})
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+    def get_samples_number(self):
+        return self.n
+
+
+def _cfg(tmp_path):
+    return types.SimpleNamespace(
+        dataloader=types.SimpleNamespace(batch_size=8, val_batch_size=8, workers=2),
+        training=types.SimpleNamespace(start_epoch=0, weights=None),
+        CHECKPOINTS_PATH=str(tmp_path / "ckpts"),
+        LOGS_PATH=None,
+    )
+
+
+@pytest.fixture(scope="module")
+def model():
+    return iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(28, 28), patch_size=(14, 14), embed_dim=384),
+        ),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1, num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        save_cfg=dict(embed_coords=True, backbone=False, upsampler=False, head=True),
+        use_disks=True,
+        norm_radius=5,
+        with_prev_mask=True,
+        attn_impl="jnp",
+    )
+
+
+def test_training_epoch_updates_trainable_only(model, tmp_path):
+    assert jax.device_count() == 8, "conftest must provide the 8-device CPU mesh"
+    ds = TinyDataset()
+    trainer = iSegTrainer(
+        model,
+        _cfg(tmp_path),
+        loss_cfg={"instance_loss": NormalizedFocalLossSigmoid(alpha=0.5, gamma=2),
+                  "instance_loss_weight": 1.0},
+        trainset=ds,
+        valset=TinyDataset(n=8),
+        optimizer="adam",
+        optimizer_params={"lr": 1e-3},
+        metrics=[AdaptiveIoU()],
+        max_num_next_clicks=2,
+        prev_mask_drop_prob=0.3,
+        seed=7,
+    )
+
+    before = jax.device_get(trainer.params)
+    trainer.run(num_epochs=1, validation=True)
+    after = jax.device_get(trainer.params)
+
+    # frozen backbone identical, trainable head changed
+    np.testing.assert_array_equal(
+        jax.tree.leaves(before["frozen"])[0], jax.tree.leaves(after["frozen"])[0]
+    )
+    head_before = jax.tree.leaves(before["trainable"]["head"])
+    head_after = jax.tree.leaves(after["trainable"]["head"])
+    assert any(
+        not np.array_equal(b, a) for b, a in zip(head_before, head_after)
+    ), "head params did not update"
+    assert trainer.train_metrics[0].get_epoch_value() >= 0
+
+    # checkpoint round-trip with save_cfg filtering
+    from isegprobe_tpu.utils.serialization import build_model, load_checkpoint
+
+    params, config, extra = load_checkpoint(
+        tmp_path / "ckpts" / "last_checkpoint.ckpt"
+    )
+    assert "backbone" not in params and "head" in params
+    rebuilt = build_model(config)
+    assert rebuilt.backbone_cfg["type"] == "dinov2"
+
+
+def test_get_next_points_device_places_click_in_error_region():
+    h = w = 32
+    gt = np.zeros((2, h, w, 1), np.float32)
+    gt[:, 4:20, 4:20] = 1
+    prob = np.zeros((2, h, w, 1), np.float32)  # all-FN prediction
+    points = np.full((2, 8, 3), -1.0, np.float32)
+
+    new_pts = np.asarray(
+        get_next_points_device(
+            jnp.asarray(prob), jnp.asarray(gt), jnp.asarray(points),
+            jnp.asarray(1), jax.random.PRNGKey(0),
+        )
+    )
+    n = 4  # num_points = 8 // 2
+    for b in range(2):
+        y, x, idx = new_pts[b, n - 1]
+        assert idx == 1.0
+        assert gt[b, int(y), int(x), 0] == 1.0, "positive click must be inside FN"
+    # other rows untouched
+    assert (new_pts[:, : n - 1] == -1).all()

@@ -1,0 +1,35 @@
+"""Training CLI (reference: train.py:13-27).
+
+Usage:
+    python train.py exp.model_path=models/sbd/dinov2/patch-embed_noup.py \
+        [key=value overrides...]
+"""
+
+import sys
+
+from isegprobe_tpu.utils.config import load_config
+from isegprobe_tpu.utils.exp import init_experiment, load_module
+
+
+def main() -> None:
+    overrides = [a for a in sys.argv[1:] if "=" in a]
+    cfg = load_config("configs/train_cfg.yaml", overrides)
+
+    model_script = load_module(cfg.exp.model_path)
+    cfg = init_experiment(cfg)
+
+    # snapshot the resolved config into the run dir
+    import yaml
+
+    with open(cfg.EXP_PATH / "resolved_config.yaml", "w") as f:
+        yaml.safe_dump(
+            {k: str(v) if not isinstance(v, (int, float, bool, str, list, dict))
+             else v for k, v in cfg.items()},
+            f,
+        )
+
+    model_script.main(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,12 @@
 """Dataset loaders (reference: core/data/datasets/__init__.py)."""
 
+from isegprobe_tpu.data.datasets.extended import (
+    ADE20kDataset,
+    CocoDataset,
+    CocoLvisDataset,
+    LvisDataset,
+    OpenImagesDataset,
+)
 from isegprobe_tpu.data.datasets.standard import (
     BerkeleyDataset,
     DavisDataset,
@@ -10,9 +17,14 @@ from isegprobe_tpu.data.datasets.standard import (
 )
 
 __all__ = [
+    "ADE20kDataset",
     "BerkeleyDataset",
+    "CocoDataset",
+    "CocoLvisDataset",
     "DavisDataset",
     "GrabCutDataset",
+    "LvisDataset",
+    "OpenImagesDataset",
     "PascalVocDataset",
     "SBDDataset",
     "SBDEvaluationDataset",

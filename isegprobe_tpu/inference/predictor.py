@@ -77,6 +77,7 @@ class TPUPredictor:
         self.image_hw: Tuple[int, int] = (0, 0)
         self.pad_hw: Tuple[int, int] = (0, 0)
         self.prev_prediction: Optional[np.ndarray] = None  # host [H, W]
+        self._prev_probs_dev = None  # device [1, Hp, Wp, 1] (avoids re-upload)
         self._object_roi: Optional[Bbox] = None
         self._roi_version = 0  # bumped when the ROI changes (cache invalidation)
 
@@ -139,6 +140,7 @@ class TPUPredictor:
         self.image_hw = (h, w)
         self.pad_hw = (hp, wp)
         self.prev_prediction = np.zeros((h, w), dtype=np.float32)
+        self._prev_probs_dev = jnp.zeros((1, hp, wp, 1), dtype=jnp.float32)
         self._object_roi = None
         self._roi_version += 1
 
@@ -200,17 +202,22 @@ class TPUPredictor:
 
         h, w = self.image_hw
         hp, wp = self.pad_hw
-        prev = self.prev_prediction if prev_mask is None else prev_mask
-        prev_pad = np.zeros((1, hp, wp, 1), dtype=np.float32)
-        prev_pad[0, :h, :w, 0] = prev
+        if prev_mask is None:
+            # the previous step's output already lives on device — no re-upload
+            prev_dev = self._prev_probs_dev
+        else:
+            prev_pad = np.zeros((1, hp, wp, 1), dtype=np.float32)
+            prev_pad[0, :h, :w, 0] = np.asarray(prev_mask).reshape(h, w)
+            prev_dev = jnp.asarray(prev_pad)
 
         probs_pad = self._step(
             self.params,
             self.original_image,
-            jnp.asarray(prev_pad),
+            prev_dev,
             jnp.asarray(np.asarray(roi, dtype=np.int32)),
             jnp.asarray(points),
         )
+        self._prev_probs_dev = probs_pad
         probs = np.asarray(probs_pad)[0, :h, :w, 0]
         self.prev_prediction = probs
         return probs
@@ -259,6 +266,12 @@ class TPUPredictor:
         self._object_roi = states["object_roi"]
         self.prev_prediction = states["prev_prediction"]
         self._roi_version += 1
+        if self.prev_prediction is not None and self.pad_hw != (0, 0):
+            h, w = self.image_hw
+            hp, wp = self.pad_hw
+            prev_pad = np.zeros((1, hp, wp, 1), dtype=np.float32)
+            prev_pad[0, :h, :w, 0] = self.prev_prediction
+            self._prev_probs_dev = jnp.asarray(prev_pad)
 
 
 def _clicks_inside(object_roi: Bbox, clicks_list: List[Click]) -> bool:

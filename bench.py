@@ -14,14 +14,8 @@ no published numbers (BASELINE.md).
 """
 
 import json
-import os
 import time
 from pathlib import Path
-
-# persistent compile cache: first-compile dominates otherwise (set before jax)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      str(Path(__file__).parent / ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 

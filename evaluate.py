@@ -104,47 +104,79 @@ def main() -> None:
         "all reference experiments use NoBRS; BRS modes are not implemented"
     )
 
+    from isegprobe_tpu.inference.eval_utils import (
+        get_checkpoints_list,
+        get_prediction_vis_callback,
+        get_save_feats_callback,
+        save_iou_analysis_data,
+    )
+
+    checkpoints_list = get_checkpoints_list(eval_cfg, main_cfg.EXPS_PATH)
+
     print_header = True
     for dataset_name in eval_cfg.datasets.split(","):
         dataset = get_dataset(dataset_name, main_cfg)
         zoomin_params = get_zoomin_params(eval_cfg, dataset_name)
 
-        model, params = load_model_for_eval(eval_cfg.checkpoint, eval_cfg)
-        predictor = TPUPredictor(
-            model,
-            params,
-            target_size=zoomin_params["target_size"],
-            skip_clicks=zoomin_params["skip_clicks"],
-            with_flip=True,
-            net_clicks_limit=(eval_cfg.clicks_limit or eval_cfg.n_clicks),
-        )
+        for checkpoint_path in checkpoints_list:
+            model, params = load_model_for_eval(checkpoint_path, eval_cfg)
+            predictor = TPUPredictor(
+                model,
+                params,
+                target_size=zoomin_params["target_size"],
+                skip_clicks=zoomin_params["skip_clicks"],
+                with_flip=True,
+                net_clicks_limit=(eval_cfg.clicks_limit or eval_cfg.n_clicks),
+            )
 
-        all_ious, elapsed = evaluate_dataset(
-            dataset,
-            predictor,
-            max_iou_thr=eval_cfg.target_iou,
-            pred_thr=eval_cfg.thresh,
-            min_clicks=eval_cfg.min_n_clicks,
-            max_clicks=eval_cfg.n_clicks,
-        )
+            vis_callback = (
+                get_prediction_vis_callback(logs_path, dataset_name,
+                                            eval_cfg.thresh)
+                if eval_cfg.vis_preds else None
+            )
+            feats_callback = (
+                get_save_feats_callback(
+                    logs_path, dataset_name, eval_cfg.save_feats_folder_name,
+                    eval_cfg.save_feats_for_n_imgs,
+                )
+                if eval_cfg.save_feats else None
+            )
 
-        noc, noc_std, over_max = compute_noc_metric(
-            all_ious, iou_thrs=[0.8, 0.85, 0.9], max_clicks=eval_cfg.n_clicks
-        )
-        spc, spi = get_time_metrics(all_ious, elapsed)
-        table = get_results_table(
-            noc, over_max, eval_cfg.mode, dataset_name, spc, elapsed,
-            n_clicks=eval_cfg.n_clicks,
-            model_name=eval_cfg.model_name or str(eval_cfg.checkpoint),
-            print_header=print_header,
-        )
-        print(table)
-        if eval_cfg.print_ious:
-            miou = miou_at_k(all_ious, eval_cfg.n_clicks)
-            print("mIoU@k:", " ".join(f"{v:.3f}" for v in miou))
-        with open(logs_path / "results.txt", "a") as f:
-            f.write(table + "\n")
-        print_header = False
+            all_ious, elapsed = evaluate_dataset(
+                dataset,
+                predictor,
+                max_iou_thr=eval_cfg.target_iou,
+                pred_thr=eval_cfg.thresh,
+                min_clicks=eval_cfg.min_n_clicks,
+                max_clicks=eval_cfg.n_clicks,
+                callback=vis_callback,
+                feats_callback=feats_callback,
+            )
+
+            model_name = eval_cfg.model_name or Path(checkpoint_path).stem
+            if eval_cfg.iou_analysis or eval_cfg.save_ious:
+                save_iou_analysis_data(
+                    logs_path, dataset_name, model_name, all_ious,
+                    n_clicks=eval_cfg.n_clicks, mode=eval_cfg.mode,
+                )
+
+            noc, noc_std, over_max = compute_noc_metric(
+                all_ious, iou_thrs=[0.8, 0.85, 0.9], max_clicks=eval_cfg.n_clicks
+            )
+            spc, spi = get_time_metrics(all_ious, elapsed)
+            table = get_results_table(
+                noc, over_max, eval_cfg.mode, dataset_name, spc, elapsed,
+                n_clicks=eval_cfg.n_clicks,
+                model_name=model_name,
+                print_header=print_header,
+            )
+            print(table)
+            if eval_cfg.print_ious:
+                miou = miou_at_k(all_ious, eval_cfg.n_clicks)
+                print("mIoU@k:", " ".join(f"{v:.3f}" for v in miou))
+            with open(logs_path / "results.txt", "a") as f:
+                f.write(table + "\n")
+            print_header = False
 
 
 if __name__ == "__main__":

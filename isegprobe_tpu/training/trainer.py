@@ -418,9 +418,10 @@ class iSegTrainer:
             self.cfg, "LOGS_PATH", None
         ):
             try:
-                from tensorboardX import SummaryWriter
+                from isegprobe_tpu.utils.log import SummaryWriterAvg
 
-                self.sw = SummaryWriter(log_dir=str(self.cfg.LOGS_PATH))
+                self.sw = SummaryWriterAvg(log_dir=str(self.cfg.LOGS_PATH),
+                                           dump_period=self.tb_dump_period)
             except ImportError:
                 self.sw = None
 

@@ -1,0 +1,107 @@
+"""CLI end-to-end: checkpoint save -> evaluate.py main() on a fixture GrabCut
+dataset -> NoC table; plus the train.py config plumbing."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def fixture_dataset(tmp_path_factory):
+    """Two tiny images in GrabCut directory layout."""
+    root = tmp_path_factory.mktemp("grabcut")
+    (root / "data_GT").mkdir()
+    (root / "boundary_GT").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        h, w = 80, 90
+        img = (rng.random((h, w, 3)) * 60).astype(np.uint8)
+        mask = np.zeros((h, w), dtype=np.uint8)
+        mask[20:60, 25:70] = 255
+        img[mask > 0] = [200, 180, 90]
+        cv2.imwrite(str(root / "data_GT" / f"img{i}.png"), img[:, :, ::-1])
+        cv2.imwrite(str(root / "boundary_GT" / f"img{i}.png"), mask)
+    return root
+
+
+@pytest.fixture(scope="module")
+def fixture_checkpoint(tmp_path_factory):
+    import jax
+
+    from isegprobe_tpu.models.probe_model import filter_state_dict, iSegProbeModel
+    from isegprobe_tpu.utils.serialization import model_config, save_checkpoint
+
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(112, 112), patch_size=(14, 14), embed_dim=384),
+        ),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1, num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        save_cfg=dict(embed_coords=True, backbone=False, upsampler=False,
+                      head=True),
+        use_disks=True,
+        norm_radius=5,
+        with_prev_mask=True,
+        attn_impl="jnp",
+    )
+    image = np.zeros((1, 112, 112, 4), dtype=np.float32)
+    points = np.full((1, 4, 3), -1.0, dtype=np.float32)
+    params = model.init(jax.random.PRNGKey(0), image, points)["params"]
+    path = tmp_path_factory.mktemp("ckpt") / "test.ckpt"
+    save_checkpoint(filter_state_dict(params, model.save_cfg),
+                    model_config(model), path)
+    return path
+
+
+def test_evaluate_main_runs(fixture_dataset, fixture_checkpoint, tmp_path,
+                            monkeypatch):
+    repo = Path(__file__).resolve().parents[1]
+    main_cfg = {
+        "EXPS_PATH": str(tmp_path / "exps"),
+        "INTERACTIVE_MODELS_PATH": str(tmp_path),
+        "DATASETS": {"GRABCUT_PATH": str(fixture_dataset)},
+        "UPSAMPLERS": {},
+    }
+    main_cfg_path = tmp_path / "main_cfg.yaml"
+    main_cfg_path.write_text(yaml.safe_dump(main_cfg))
+
+    monkeypatch.chdir(repo)
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "evaluate.py",
+            f"checkpoint={fixture_checkpoint}",
+            "datasets=GrabCut",
+            "eval_mode=fixed112",
+            "n_clicks=2",
+            "target_iou=0.9",
+            "print_ious=false",
+            "iou_analysis=false",
+            f"main_cfg_path={main_cfg_path}",
+            f"logs_path={tmp_path / 'logs'}",
+        ],
+    )
+    import importlib
+
+    evaluate = importlib.import_module("evaluate")
+    evaluate.main()
+
+    results = (tmp_path / "logs" / "results.txt").read_text()
+    assert "GrabCut" in results and "NoC@80%" in results
+
+
+def test_config_overrides():
+    from isegprobe_tpu.utils.config import EDict, apply_overrides
+
+    cfg = EDict.convert({"a": {"b": 1}, "flag": True})
+    apply_overrides(cfg, ["a.b=5", "flag=false", "new.key=[1,2]"])
+    assert cfg.a.b == 5 and cfg.flag is False and cfg.new.key == [1, 2]

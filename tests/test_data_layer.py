@@ -1,0 +1,138 @@
+"""Data layer: click synthesis, augmentations, sample hierarchy, loader."""
+
+import numpy as np
+import pytest
+
+from isegprobe_tpu.data import transforms as T
+from isegprobe_tpu.data.base_dataset import iSegBaseDataset
+from isegprobe_tpu.data.loader import DataLoader
+from isegprobe_tpu.data.points_sampler import MultiPointSampler, generate_probs
+from isegprobe_tpu.data.sample import DSample
+
+
+def _sample(hw=(64, 72)):
+    rng = np.random.default_rng(0)
+    img = (rng.random((*hw, 3)) * 255).astype(np.uint8)
+    mask = np.zeros(hw, dtype=np.int32)
+    mask[10:40, 15:50] = 1
+    mask[45:60, 50:70] = 2
+    return DSample(img, mask, objects_ids=[1, 2], sample_id=0)
+
+
+def test_generate_probs_normalized():
+    p = generate_probs(24, 0.7)
+    assert p.shape == (24,)
+    np.testing.assert_allclose(p.sum(), 1.0)
+    assert (np.diff(p) <= 0).all()  # geometric decay
+
+
+def test_point_sampler_produces_valid_points():
+    np.random.seed(0)
+    import random
+
+    random.seed(0)
+    sampler = MultiPointSampler(max_num_points=12, prob_gamma=0.8,
+                                merge_objects_prob=0.15,
+                                max_num_merged_objects=2)
+    sample = _sample()
+    sampler.sample_object(sample)
+    points = np.array(sampler.sample_points())
+    assert points.shape == (24, 3)
+    mask = sampler.selected_mask[0]
+    h, w = mask.shape
+    valid = points[points[:, 2] >= 0]
+    assert len(valid) >= 1
+    # positive points (first half) must land on the selected object
+    for y, x, idx in points[:12]:
+        if idx < 0:
+            continue
+        assert 0 <= y < h and 0 <= x < w
+    # gt mask is one (or merged) object(s)
+    assert mask.max() == 1.0
+
+
+def test_point_sampler_empty_sample():
+    sampler = MultiPointSampler(max_num_points=6)
+    img = np.zeros((32, 32, 3), np.uint8)
+    empty = DSample(img, np.zeros((32, 32), np.int32), objects_ids=[])
+    sampler.sample_object(empty)
+    points = np.array(sampler.sample_points())
+    assert points.shape == (12, 3)
+    assert sampler.selected_mask.sum() == 0
+
+
+def test_augmentations_preserve_mask_alignment():
+    import random
+
+    random.seed(1)
+    np.random.seed(1)
+    aug = T.Compose([
+        T.UniformRandomResize((0.75, 1.25)),
+        T.Flip(p=1.0),
+        T.RandomRotate90(p=1.0),
+        T.ShiftScaleRotate(shift_limit=0.03, scale_limit=0,
+                           rotate_limit=(-3, 3), p=1.0),
+        T.PadIfNeeded(48, 48),
+        T.RandomCrop(48, 48),
+        T.RandomBrightnessContrast(p=1.0),
+        T.RGBShift(p=1.0),
+    ])
+    sample = _sample()
+    sample.augment(aug)
+    assert sample.image.shape[:2] == (48, 48)
+    assert sample._encoded_masks.shape[:2] == (48, 48)
+    # re-augmentation resets first (no drift)
+    sample.augment(aug)
+    assert sample.image.shape[:2] == (48, 48)
+
+
+def test_dataset_and_loader_roundtrip():
+    import random
+
+    random.seed(2)
+    np.random.seed(2)
+
+    class _DS(iSegBaseDataset):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.dataset_samples = list(range(8))
+
+        def get_sample(self, index):
+            return _sample()
+
+    ds = _DS(
+        augmentator=T.Compose([T.PadIfNeeded(64, 72), T.RandomCrop(64, 72)]),
+        points_sampler=MultiPointSampler(max_num_points=6),
+        min_object_area=10,
+    )
+    item = ds[0]
+    assert item["images"].shape == (64, 72, 3)
+    assert item["points"].shape == (12, 3)
+    assert item["instances"].shape == (64, 72, 1)
+
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["images"].shape == (4, 64, 72, 3)
+
+
+def test_compose_datasets():
+    from isegprobe_tpu.data.compose_dataset import (
+        ComposeDataset,
+        ProportionalComposeDataset,
+    )
+
+    class _DS(iSegBaseDataset):
+        def __init__(self, n):
+            super().__init__()
+            self.dataset_samples = list(range(n))
+
+        def get_sample(self, index):
+            return _sample()
+
+    comp = ComposeDataset([_DS(3), _DS(5)])
+    assert comp.get_samples_number() == 8
+    assert isinstance(comp.get_sample(6), DSample)
+
+    prop = ProportionalComposeDataset([_DS(3), _DS(5)], ratios=[0.3, 0.7])
+    assert isinstance(prop.get_sample(0), DSample)

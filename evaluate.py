@@ -72,18 +72,57 @@ def get_zoomin_params(eval_cfg, dataset_name):
     raise NotImplementedError(f"Unknown eval_mode: {eval_cfg.eval_mode}")
 
 
-def load_model_for_eval(checkpoint_path: str, eval_cfg):
+def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     import jax
 
     params, config, _ = load_checkpoint(checkpoint_path)
     model = build_model(config)
     # fresh init (frozen/pretrained modules), overlaid with the checkpoint
-    h = w = 448
+    h, w = target_size
     n_ch = 4 if config["params"].get("with_prev_mask") else 3
     image = np.zeros((1, h, w, n_ch), dtype=np.float32)
     points = np.full((1, 40, 3), -1.0, dtype=np.float32)
     full = model.init(jax.random.PRNGKey(0), image, points)["params"]
-    return model, merge_params(full, params)
+    params = merge_params(full, params)
+    model, params = interpolate_backbone_pos_embed(model, params, config,
+                                                   target_size)
+    return model, params
+
+
+def interpolate_backbone_pos_embed(model, params, config, target_size):
+    """Pre-interpolate the backbone positional embedding to the eval grid
+    (reference: evaluate.py:83-86 + utils/pos_embed.py:110-150) and rebuild
+    the model so the per-forward interpolation becomes a no-op."""
+    from isegprobe_tpu.models.convert import interpolate_pos_embed_params
+    from isegprobe_tpu.models.featurizers.dino import DINO_TRUNK
+    from isegprobe_tpu.models.featurizers.dinov2 import DINOV2_ARCHS
+
+    backbone_cfg = dict(config["params"]["backbone_cfg"])
+    btype = backbone_cfg["type"].lower()
+    bparams = dict(backbone_cfg.get("params") or {})
+    if btype == "dinov2":
+        arch = DINOV2_ARCHS[bparams.get("arch", "dinov2_vits14")]
+        patch, old_grid = arch.patch_size, arch.pretrain_grid
+    elif btype == "vit":
+        patch = bparams.get("patch_size", 16)
+        old_grid = DINO_TRUNK.pretrain_grid
+    else:
+        return model, params  # mask_clip interpolates per forward; simple_vit fixed
+
+    new_grid = (target_size[0] // patch, target_size[1] // patch)
+    if tuple(new_grid) == tuple(old_grid):
+        return model, params
+    params = dict(params)
+    params["backbone"] = dict(params["backbone"])
+    params["backbone"]["model"] = dict(params["backbone"]["model"])
+    params["backbone"]["model"]["pos_embed"] = interpolate_pos_embed_params(
+        params["backbone"]["model"]["pos_embed"], old_grid, new_grid
+    )
+    bparams["pretrain_grid"] = new_grid
+    backbone_cfg["params"] = bparams
+    new_config = dict(config)
+    new_config["params"] = dict(config["params"], backbone_cfg=backbone_cfg)
+    return build_model(new_config), params
 
 
 def main() -> None:
@@ -100,9 +139,9 @@ def main() -> None:
                      Path(main_cfg.EXPS_PATH) / "evaluation_logs")
     logs_path.mkdir(parents=True, exist_ok=True)
 
-    assert eval_cfg.mode == "NoBRS", (
-        "all reference experiments use NoBRS; BRS modes are not implemented"
-    )
+    # all reference experiments use NoBRS; f-BRS / input-BRS are available via
+    # isegprobe_tpu.inference.brs.get_predictor (mode=f-BRS-A/B/C, RGB-BRS,
+    # DistMap-BRS)
 
     from isegprobe_tpu.inference.eval_utils import (
         get_checkpoints_list,
@@ -119,14 +158,21 @@ def main() -> None:
         zoomin_params = get_zoomin_params(eval_cfg, dataset_name)
 
         for checkpoint_path in checkpoints_list:
-            model, params = load_model_for_eval(checkpoint_path, eval_cfg)
-            predictor = TPUPredictor(
+            model, params = load_model_for_eval(
+                checkpoint_path, eval_cfg,
+                target_size=zoomin_params["target_size"])
+            from isegprobe_tpu.inference.brs import get_predictor
+
+            predictor = get_predictor(
                 model,
                 params,
-                target_size=zoomin_params["target_size"],
-                skip_clicks=zoomin_params["skip_clicks"],
+                brs_mode=eval_cfg.mode,
+                prob_thresh=eval_cfg.thresh,
                 with_flip=True,
-                net_clicks_limit=(eval_cfg.clicks_limit or eval_cfg.n_clicks),
+                zoom_in_params=zoomin_params,
+                predictor_params={
+                    "net_clicks_limit": eval_cfg.clicks_limit or eval_cfg.n_clicks
+                },
             )
 
             vis_callback = (
@@ -142,9 +188,16 @@ def main() -> None:
                 if eval_cfg.save_feats else None
             )
 
+            profile_dir = eval_cfg.get("profile_dir", "")
+            if profile_dir:
+                import jax
+
+                jax.profiler.start_trace(profile_dir)
+            latencies: list = []
             all_ious, elapsed = evaluate_dataset(
                 dataset,
                 predictor,
+                latencies=latencies,
                 max_iou_thr=eval_cfg.target_iou,
                 pred_thr=eval_cfg.thresh,
                 min_clicks=eval_cfg.min_n_clicks,
@@ -152,6 +205,8 @@ def main() -> None:
                 callback=vis_callback,
                 feats_callback=feats_callback,
             )
+            if profile_dir:
+                jax.profiler.stop_trace()
 
             model_name = eval_cfg.model_name or Path(checkpoint_path).stem
             if eval_cfg.iou_analysis or eval_cfg.save_ious:
@@ -174,6 +229,10 @@ def main() -> None:
             if eval_cfg.print_ious:
                 miou = miou_at_k(all_ious, eval_cfg.n_clicks)
                 print("mIoU@k:", " ".join(f"{v:.3f}" for v in miou))
+            if latencies:
+                from isegprobe_tpu.inference.evaluation import latency_percentiles
+
+                print("per-click latency:", latency_percentiles(latencies))
             with open(logs_path / "results.txt", "a") as f:
                 f.write(table + "\n")
             print_header = False

@@ -54,18 +54,35 @@ def evaluate_sample(
     return clicker.clicks_list, np.array(ious_list, dtype=np.float32), pred_probs
 
 
-def evaluate_dataset(dataset, predictor, **kwargs) -> Tuple[List[np.ndarray], float]:
+def evaluate_dataset(
+    dataset, predictor, latencies: Optional[list] = None, **kwargs
+) -> Tuple[List[np.ndarray], float]:
+    """Run the per-sample NoC loop over a dataset. Pass ``latencies=[]`` to
+    collect per-click wall times (the SPC histogram — SURVEY.md §5 calls for
+    p50/p95 since latency is a headline metric)."""
     all_ious = []
     start_time = time()
     for index in range(len(dataset)):
         sample = dataset.get_sample(index)
         for object_id in sample.objects_ids:
+            t0 = time()
             _, sample_ious, _ = evaluate_sample(
                 sample.image, sample.gt_mask(object_id), predictor,
                 sample_id=index, **kwargs,
             )
+            if latencies is not None:
+                latencies.append((time() - t0) / max(1, len(sample_ious)))
             all_ious.append(sample_ious)
     return all_ious, time() - start_time
+
+
+def latency_percentiles(latencies: list) -> dict:
+    arr = np.asarray(latencies)
+    return {
+        "p50_ms": float(np.percentile(arr, 50) * 1e3),
+        "p95_ms": float(np.percentile(arr, 95) * 1e3),
+        "mean_ms": float(arr.mean() * 1e3),
+    }
 
 
 def get_iou(gt_mask: np.ndarray, pred_mask: np.ndarray, ignore_label: int = -1) -> float:

@@ -128,6 +128,37 @@ def convert_loftup(upsampler_sd: Mapping, channelnorm_sd: Mapping,
     }
 
 
+def interpolate_pos_embed_params(
+    pos_embed: np.ndarray,
+    old_grid: tuple,
+    new_grid: tuple,
+    num_extra_tokens: int = 1,
+) -> np.ndarray:
+    """Eval-time pos-embed pre-interpolation (reference:
+    core/model/featurizers/utils/pos_embed.py:110-150): size-based bicubic,
+    align_corners=False, NO '+0.1' offset — after this the forward pass sees a
+    matching grid and skips its own interpolation.
+
+    pos_embed: [1, extra + gh*gw, D] numpy/jax array.
+    """
+    import jax.numpy as jnp
+
+    from isegprobe_tpu.ops.resize import resize
+
+    pe = np.asarray(pos_embed, dtype=np.float32)
+    gh0, gw0 = old_grid
+    gh, gw = new_grid
+    if (gh0, gw0) == (gh, gw):
+        return pe
+    extra = pe[:, :num_extra_tokens]
+    patch = pe[:, num_extra_tokens:].reshape(1, gh0, gw0, -1)
+    patch = np.asarray(
+        resize(jnp.asarray(patch), (gh, gw), "bicubic", align_corners=False)
+    )
+    patch = patch.reshape(1, gh * gw, -1)
+    return np.concatenate([extra, patch], axis=1)
+
+
 def convert_clip_visual(state_dict: Mapping, layers: int = 12) -> Dict:
     """CLIP visual-tower torch state dict -> CLIPVisionTransformer params.
 

@@ -34,6 +34,7 @@ class DINOFeaturizer(nn.Module):
     patch_size: int = 16
     feat_type: str = "key"  # 'key' | 'token'
     feats_injection_mode: str = "no_injection"
+    pretrain_grid: Any = None  # eval-time pre-interpolated pos-embed grid
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
 
@@ -44,12 +45,11 @@ class DINOFeaturizer(nn.Module):
     def setup(self):
         import dataclasses
 
-        cfg = dataclasses.replace(
-            DINO_TRUNK,
-            patch_size=self.patch_size,
-            dtype=self.dtype,
-            attn_impl=self.attn_impl,
-        )
+        overrides = dict(patch_size=self.patch_size, dtype=self.dtype,
+                         attn_impl=self.attn_impl)
+        if self.pretrain_grid is not None:
+            overrides["pretrain_grid"] = tuple(self.pretrain_grid)
+        cfg = dataclasses.replace(DINO_TRUNK, **overrides)
         self.model = ViT(cfg, name="model")
 
     def __call__(

@@ -36,6 +36,9 @@ INJECTION_MODES = ("no_injection", "before_backbone", "after_backbone")
 class DINOv2Featurizer(nn.Module):
     arch: str = "dinov2_vits14"
     feats_injection_mode: str = "no_injection"
+    # override for eval-time pre-interpolated pos embeddings
+    # (reference: utils/pos_embed.py:110-150 mutates grid_size the same way)
+    pretrain_grid: Any = None
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
 
@@ -54,9 +57,10 @@ class DINOv2Featurizer(nn.Module):
             raise ValueError(f"Unknown injection mode: {self.feats_injection_mode}")
         import dataclasses
 
-        cfg = dataclasses.replace(
-            DINOV2_ARCHS[self.arch], dtype=self.dtype, attn_impl=self.attn_impl
-        )
+        overrides = dict(dtype=self.dtype, attn_impl=self.attn_impl)
+        if self.pretrain_grid is not None:
+            overrides["pretrain_grid"] = tuple(self.pretrain_grid)
+        cfg = dataclasses.replace(DINOV2_ARCHS[self.arch], **overrides)
         self.model = ViT(cfg, name="model")
 
     def __call__(

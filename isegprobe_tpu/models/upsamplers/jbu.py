@@ -30,10 +30,15 @@ from isegprobe_tpu.ops.resize import resize
 
 
 class JBULearnedRange(nn.Module):
-    """One ×2 JBU stage. __call__(source [B,h,w,C], guidance [B,2h,2w,3])."""
+    """One ×2 JBU stage. __call__(source [B,h,w,C], guidance [B,2h,2w,3]).
+
+    impl: 'xla' (shifted-slice composition) | 'pallas' (fused tile kernel,
+    ops/jbu_kernel.py) | 'auto' (pallas on TPU).
+    """
 
     key_dim: int = 32
     radius: int = 3
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
@@ -47,6 +52,17 @@ class JBULearnedRange(nn.Module):
         proj = nn.Conv(self.key_dim, (1, 1), name="range_proj1")(guidance)
         proj = jax.nn.gelu(proj, approximate=False)
         proj = nn.Conv(self.key_dim, (1, 1), name="range_proj2")(proj)
+
+        hr = resize(source, (gh, gw), "bicubic", align_corners=False)
+
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if impl in ("pallas", "pallas_interpret"):
+            from isegprobe_tpu.ops.jbu_kernel import jbu_filter_pallas
+
+            return jbu_filter_pallas(hr, proj, range_temp, sigma_spatial,
+                                     interpret=(impl == "pallas_interpret"))
 
         proj_pad = jnp.pad(proj, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
         # range similarities for the 49 window offsets
@@ -66,7 +82,6 @@ class JBULearnedRange(nn.Module):
         kernel = range_kernel * spatial
         kernel = kernel / jnp.clip(kernel.sum(axis=-1, keepdims=True), 1e-7)
 
-        hr = resize(source, (gh, gw), "bicubic", align_corners=False)
         hr_pad = jnp.pad(hr, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
         out = jnp.zeros_like(hr)
         p = 0

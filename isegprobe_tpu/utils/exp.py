@@ -68,6 +68,13 @@ def init_experiment(cfg: EDict, model_name: Optional[str] = None) -> EDict:
 
     if cfg.training.get("resume_exp"):
         exp_path = _find_resume_exp(exp_parent_path, cfg.training.resume_exp)
+        # resolve the checkpoint to resume from (reference: trainer.py:550-570)
+        prefix = cfg.training.get("resume_prefix", "latest")
+        pattern = "last_checkpoint*" if prefix == "latest" else f"{prefix}*"
+        candidates = sorted((exp_path / "checkpoints").glob(pattern + ".ckpt"))
+        if candidates:
+            cfg.training.weights = str(candidates[-1])
+            logger.info("Resuming from %s", candidates[-1])
     else:
         last_run = max(
             (int(p.name.split("_")[0]) for p in exp_parent_path.iterdir()

@@ -79,6 +79,72 @@ def build_head(htype: str, params: Dict) -> nn.Module:
     return HEAD_REGISTRY[htype](**params)
 
 
+class ScaleLayer(nn.Module):
+    """Learned |scale| multiplier (reference: core/model/ops.py:83-93)."""
+
+    init_value: float = 1.0
+    lr_mult: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param(
+            "scale",
+            lambda key, shape: jnp.full(shape, self.init_value / self.lr_mult),
+            (1,),
+        )
+        return x * jnp.abs(scale * self.lr_mult)
+
+
+class RITMMapsTransform(nn.Module):
+    """RITM-style coordinate-feature transform (reference:
+    core/model/iseg_base_model.py:42-56): 1x1 conv -> (leaky)ReLU ->
+    stride-2 3x3 conv -> ScaleLayer."""
+
+    use_leaky_relu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(16, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = nn.leaky_relu(x, 0.2) if self.use_leaky_relu else nn.relu(x)
+        x = nn.Conv(64, (3, 3), strides=2, padding=1, dtype=self.dtype,
+                    name="conv2")(x)
+        return ScaleLayer(init_value=0.05, name="scale")(x)
+
+
+def split_points_by_order(points: "np.ndarray", groups) -> list:
+    """Distribute padded clicks into per-group tensors by click index — used
+    by click-wise model ensembles (reference: iseg_base_model.py:120-156).
+    points: [B, 2N, 3] host array."""
+    import numpy as np
+
+    points = np.asarray(points)
+    num_groups = len(groups)
+    bs = points.shape[0]
+    num_points = points.shape[1] // 2
+
+    groups = [x if x > 0 else num_points for x in groups]
+    group_points = [np.full((bs, 2 * x, 3), -1, dtype=np.float32) for x in groups]
+
+    last_point_indx_group = np.zeros((bs, num_groups, 2), dtype=np.int64)
+    for group_indx, group_size in enumerate(groups):
+        last_point_indx_group[:, group_indx, 1] = group_size
+
+    for bindx in range(bs):
+        for pindx in range(2 * num_points):
+            point = points[bindx, pindx, :]
+            group_id = int(point[2])
+            if group_id < 0:
+                continue
+            is_negative = int(pindx >= num_points)
+            if group_id >= num_groups or (group_id == 0 and is_negative):
+                group_id = num_groups - 1
+            new_point_indx = last_point_indx_group[bindx, group_id, is_negative]
+            last_point_indx_group[bindx, group_id, is_negative] += 1
+            group_points[group_id][bindx, new_point_indx, :] = point
+    return group_points
+
+
 class iSegProbeModel(nn.Module):
     """backbone (+ injected click tokens) -> upsampler -> head.
 
@@ -98,6 +164,9 @@ class iSegProbeModel(nn.Module):
     with_aux_output: bool = False
     norm_radius: float = 5.0
     use_disks: bool = False
+    cpu_dist_maps: bool = False  # accepted for config parity; maps run on device
+    use_rgb_conv: bool = False  # RITM-only coordinate transform
+    use_leaky_relu: bool = False
     with_prev_mask: bool = False
     norm_mean_std: Tuple = (IMAGENET_MEAN, IMAGENET_STD)
     dtype: Any = jnp.float32
@@ -120,6 +189,14 @@ class iSegProbeModel(nn.Module):
             self.upsampler_type, ucfg.get("params") if ucfg else None
         )
         self.head = build_head(self.head_cfg["type"], dict(self.head_cfg["params"]))
+
+        if self.use_rgb_conv:
+            self.maps_transform = RITMMapsTransform(
+                use_leaky_relu=self.use_leaky_relu, dtype=self.dtype,
+                name="maps_transform",
+            )
+        else:
+            self.maps_transform = None
 
         ec_type = self.embed_coords_cfg["type"]
         ec_params = self.embed_coords_cfg["params"]
@@ -162,6 +239,8 @@ class iSegProbeModel(nn.Module):
     # -- forward ----------------------------------------------------------
 
     def backbone_forward(self, image, coord_features) -> Dict:
+        if self.maps_transform is not None:
+            coord_features = self.maps_transform(coord_features)
         coord_tokens = self.embed_coords(coord_features)
         feats = self.backbone(image, coord_tokens)
 

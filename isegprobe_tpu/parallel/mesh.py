@@ -58,3 +58,17 @@ def replicate(tree, mesh: Mesh):
 def process_is_master() -> bool:
     """'rank 0' in the reference's DDP world (distributed.py:8-12)."""
     return jax.process_index() == 0
+
+
+def reduce_loss_dict(loss_dict: dict) -> dict:
+    """Average scalar losses across processes for logging — the psum-based
+    equivalent of the reference's dist.reduce (distributed.py:31-53).
+    No-op in a single-process world, like the reference at world_size 1."""
+    if jax.process_count() == 1:
+        return loss_dict
+    from jax.experimental.multihost_utils import process_allgather
+
+    gathered = process_allgather(
+        {k: np.asarray(v, dtype=np.float32) for k, v in loss_dict.items()}
+    )
+    return {k: np.mean(v) for k, v in gathered.items()}

@@ -60,26 +60,43 @@ def _jbu_kernel(temp_ref, spatial_ref, proj_hbm, hr_hbm, o_ref,
     center = pscr[RADIUS : RADIUS + th, RADIUS : RADIUS + tw, :]
     temp = jnp.clip(jnp.exp(temp_ref[0, 0]), 1e-4, 1e4)
 
-    def sim(ky, kx):
-        shifted = pscr[ky : ky + th, kx : kx + tw, :]
-        return jnp.sum(center * shifted, axis=-1) * temp  # [th, tw]
+    # Loop structure: rolled fori over the 7 row offsets (dynamic slice on the
+    # cheap untiled dim 0) with the 7 column offsets unrolled as static
+    # sublane shifts. Fully unrolling 49 taps blows the 16M scoped-VMEM stack;
+    # fully rolling makes Mosaic lower 49 dynamic sublane shifts (minutes of
+    # compile). This hybrid keeps ≤7 tap temporaries live.
 
-    # pass 1: per-pixel max over taps
-    m = jnp.full((th, tw), -jnp.inf, dtype=jnp.float32)
-    for ky in range(DIAM):
-        for kx in range(DIAM):
-            m = jnp.maximum(m, sim(ky, kx))
+    def row_sims(ky):
+        """[DIAM, th, tw] similarities of the 7 taps in row offset ky."""
+        rslab = pscr[pl.ds(ky, th), :, :]  # [th, tw+8, K]
+        return [
+            jnp.sum(center * rslab[:, kx : kx + tw, :], axis=-1) * temp
+            for kx in range(DIAM)
+        ]
 
-    # pass 2: weighted accumulation with the normalizer folded in
-    num = jnp.zeros((th, tw, cb), dtype=jnp.float32)
-    den = jnp.zeros((th, tw), dtype=jnp.float32)
-    p = 0
-    for ky in range(DIAM):
-        for kx in range(DIAM):
-            e = jnp.exp(sim(ky, kx) - m) * spatial_ref[0, p]
+    def max_body(ky, acc):
+        for s in row_sims(ky):
+            acc = jnp.maximum(acc, s)
+        return acc
+
+    m = jax.lax.fori_loop(
+        0, DIAM, max_body, jnp.full((th, tw), -jnp.inf, dtype=jnp.float32)
+    )
+
+    def acc_body(ky, carry):
+        num, den = carry
+        hslab = hscr[pl.ds(ky, th), :, :]  # [th, tw+8, cb]
+        for kx, s in enumerate(row_sims(ky)):
+            # spatial weight: dynamic row offset × static col offset
+            e = jnp.exp(s - m) * spatial_ref[0, ky * DIAM + kx]
             den = den + e
-            num = num + e[:, :, None] * hscr[ky : ky + th, kx : kx + tw, :]
-            p += 1
+            num = num + e[:, :, None] * hslab[:, kx : kx + tw, :]
+        return num, den
+
+    num, den = jax.lax.fori_loop(
+        0, DIAM, acc_body,
+        (jnp.zeros((th, tw, cb), jnp.float32), jnp.zeros((th, tw), jnp.float32)),
+    )
 
     o_ref[0] = (num / jnp.maximum(den, 1e-7)[:, :, None]).astype(o_ref.dtype)
 
@@ -106,24 +123,26 @@ def jbu_filter_pallas(hr, proj, temp, sigma, interpret: bool = False):
     b, h, w, cch = hr.shape
     proj = _pad_to(proj, 3, 128)  # DMA minor-dim alignment
     key_dim = proj.shape[-1]
-    th = min(32, max(8, h))
+    # tile sized to keep halo slabs + fori carries + one tap's temporaries
+    # inside the 16M scoped-VMEM budget
+    th = min(16, max(8, h))
     tw = min(128, max(8, w))
+
+    # output tiling covers [0, hp) x [0, wp) with hp/wp the tile-rounded-up
+    # extents; straddling tiles read only the reflect halo for their valid
+    # rows/cols, fully-out-of-range tile outputs are cropped away
+    nh, nw = -(-h // th), -(-w // tw)
+    hp, wp = nh * th, nw * tw
 
     hr_p = jnp.pad(hr, ((0, 0), (RADIUS, RADIUS), (RADIUS, RADIUS), (0, 0)),
                    mode="reflect")
     proj_p = jnp.pad(proj, ((0, 0), (RADIUS, RADIUS), (RADIUS, RADIUS), (0, 0)),
                      mode="reflect")
-    # pad spatial dims so tiles divide evenly; tiles fully beyond the valid
-    # region produce garbage that is cropped away, while straddling tiles only
-    # read the reflect halo for their valid rows/cols
-    hr_p = _pad_to(_pad_to(hr_p, 1, th), 2, tw)
-    proj_p = _pad_to(_pad_to(proj_p, 1, th), 2, tw)
-    hp = hr_p.shape[1] - 2 * RADIUS
-    wp = hr_p.shape[2] - 2 * RADIUS
-    nh, nw = hp // th, wp // tw
-    # the last tile's 8-aligned width slab reads 2 columns past the halo
-    hr_p = jnp.pad(hr_p, ((0, 0), (0, 0), (0, 2), (0, 0)))
-    proj_p = jnp.pad(proj_p, ((0, 0), (0, 0), (0, 2), (0, 0)))
+    # grow to (hp + 2r) x (wp + 8-aligned slab width) with zeros
+    pad_h = hp + 2 * RADIUS - hr_p.shape[1]
+    pad_w = wp + 8 - hr_p.shape[2]  # last tile's slab spans wp - tw .. wp + 8
+    hr_p = jnp.pad(hr_p, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    proj_p = jnp.pad(proj_p, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
 
     cb = min(128, cch)
     hr_pc = _pad_to(hr_p, 3, cb).astype(jnp.float32)

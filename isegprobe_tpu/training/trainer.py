@@ -142,7 +142,12 @@ class iSegTrainer:
         seed: int = -1,
         mesh=None,
         dtype=jnp.float32,
+        debug_nans: bool = False,
     ) -> None:
+        if debug_nans:
+            # SURVEY.md §5: the TPU-native stand-in for the reference's
+            # determinism/sanitizer machinery — fail fast on NaN/Inf
+            jax.config.update("jax_debug_nans", True)
         self.model = model
         self.cfg = cfg
         self.loss_cfg = loss_cfg
@@ -223,8 +228,35 @@ class iSegTrainer:
         self.is_master = process_is_master()
         self.epoch_losses: List[float] = []
 
-    # -- overridable hook for experiment scripts to convert torch weights --
     def _load_pretrained(self, params):
+        """Overlay converted (msgpack) pretrained backbone weights declared in
+        main_cfg's PRETRAINED_MODELS onto the fresh init (the reference
+        downloads from torch.hub at build time instead; see
+        scripts/convert_weights.py)."""
+        pretrained = getattr(self.cfg, "PRETRAINED_MODELS", None) or {}
+        btype = self.model.backbone_cfg["type"].lower()
+        key = {"dinov2": "DINOV2_VITS14", "vit": "DINO_VITS16",
+               "mask_clip": "MASKCLIP_VITB16"}.get(btype)
+        path = pretrained.get(key) if key else None
+        if path:
+            from pathlib import Path
+
+            from flax import serialization as flax_serialization
+
+            if Path(path).exists():
+                loaded = flax_serialization.msgpack_restore(
+                    Path(path).read_bytes()
+                )
+                params = dict(params)
+                params["backbone"] = merge_params(
+                    params["backbone"], {"model": loaded}
+                )
+                logger.info("Loaded pretrained backbone from %s", path)
+            else:
+                logger.warning(
+                    "PRETRAINED_MODELS.%s=%s not found; backbone stays "
+                    "random-initialized", key, path,
+                )
         return params
 
     # ------------------------------------------------------------------

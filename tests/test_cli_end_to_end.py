@@ -90,9 +90,15 @@ def test_evaluate_main_runs(fixture_dataset, fixture_checkpoint, tmp_path,
             f"logs_path={tmp_path / 'logs'}",
         ],
     )
-    import importlib
+    # load OUR evaluate.py explicitly — `import evaluate` can resolve to the
+    # reference tree when the oracle tests prepended it to sys.path
+    import importlib.util
 
-    evaluate = importlib.import_module("evaluate")
+    spec = importlib.util.spec_from_file_location(
+        "isegprobe_evaluate_cli", repo / "evaluate.py"
+    )
+    evaluate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(evaluate)
     evaluate.main()
 
     results = (tmp_path / "logs" / "results.txt").read_text()

@@ -8,7 +8,7 @@ import pytest
 from isegprobe_tpu.models.upsamplers.jbu import JBULearnedRange
 
 
-@pytest.mark.parametrize("hw", [(16, 16), (20, 36)])
+@pytest.mark.parametrize("hw", [(16, 16), (20, 36), (34, 130), (16, 258)])
 def test_jbu_pallas_matches_xla(hw):
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.standard_normal((1, hw[0] // 2, hw[1] // 2, 48),

@@ -83,6 +83,17 @@ class TPUPredictor:
 
         self._step = jax.jit(self._click_step_fn)
 
+        # late-injection backbone caching (SURVEY.md §7 delta #2): the frozen
+        # trunk depends only on the ROI crop, so it reruns only on ROI change
+        bcfg = getattr(model, "backbone_cfg", None) or {}
+        self.cache_backbone = (
+            (bcfg.get("params") or {}).get("feats_injection_mode")
+            == "after_backbone"
+        )
+        self._trunk_fn = jax.jit(self._trunk_step_fn)
+        self._cached_step = jax.jit(self._cached_click_step_fn)
+        self._trunk_cache = None  # (roi_version, trunk arrays)
+
     # ------------------------------------------------------------------
     # compiled step
     # ------------------------------------------------------------------
@@ -121,6 +132,61 @@ class TPUPredictor:
         else:
             logits = self.model.apply({"params": params}, crop, pts)["instances"]
 
+        probs = jax.nn.sigmoid(logits)
+        return inverse_paste(probs, roi, prev_pad)
+
+    def _crop_and_points(self, image_pad, prev_pad, roi, points):
+        """Shared crop + click-remap prologue of the click step."""
+        oh, ow = self.target_size
+        inp = image_pad
+        if self.with_prev_mask:
+            inp = jnp.concatenate([image_pad, prev_pad], axis=-1)
+        crop = crop_resize(inp, roi, (oh, ow))
+
+        rmin, rmax, cmin, cmax = [roi[i].astype(jnp.float32) for i in range(4)]
+        rh = rmax - rmin + 1.0
+        rw = cmax - cmin + 1.0
+        yxi = points.astype(jnp.float32)
+        valid = jnp.max(yxi[..., :2], axis=-1) >= 0
+        new_y = oh * (yxi[..., 0] - rmin) / rh
+        new_x = ow * (yxi[..., 1] - cmin) / rw
+        pts = jnp.stack([new_y, new_x, yxi[..., 2]], axis=-1)
+        pts = jnp.where(valid[..., None], pts, -1.0)
+        return crop, pts, valid
+
+    def _trunk_step_fn(self, params, image_pad, prev_pad, roi):
+        """Backbone trunk on the ROI crop (and its flip), click-independent."""
+        oh, ow = self.target_size
+        inp = image_pad
+        if self.with_prev_mask:
+            inp = jnp.concatenate([image_pad, prev_pad], axis=-1)
+        crop = crop_resize(inp, roi, (oh, ow))
+        if self.with_flip:
+            crop = jnp.concatenate([crop, crop[:, :, ::-1]], axis=0)
+        return self.model.apply({"params": params}, crop,
+                                method=self.model.compute_backbone_trunk)
+
+    def _cached_click_step_fn(self, params, image_pad, prev_pad, roi, points,
+                              trunk):
+        oh, ow = self.target_size
+        crop, pts, valid = self._crop_and_points(image_pad, prev_pad, roi,
+                                                 points)
+        if self.with_flip:
+            crop2 = jnp.concatenate([crop, crop[:, :, ::-1]], axis=0)
+            fx = ow - pts[..., 1] - 1.0
+            pts_f = jnp.stack([pts[..., 0], fx, pts[..., 2]], axis=-1)
+            pts_f = jnp.where(valid[..., None], pts_f, -1.0)
+            pts2 = jnp.concatenate([pts, pts_f], axis=0)
+            logits = self.model.apply(
+                {"params": params}, crop2, pts2, trunk,
+                method=self.model.forward_with_cached_trunk,
+            )["instances"]
+            logits = 0.5 * (logits[:1] + logits[1:, :, ::-1])
+        else:
+            logits = self.model.apply(
+                {"params": params}, crop, pts, trunk,
+                method=self.model.forward_with_cached_trunk,
+            )["instances"]
         probs = jax.nn.sigmoid(logits)
         return inverse_paste(probs, roi, prev_pad)
 
@@ -210,13 +276,24 @@ class TPUPredictor:
             prev_pad[0, :h, :w, 0] = np.asarray(prev_mask).reshape(h, w)
             prev_dev = jnp.asarray(prev_pad)
 
-        probs_pad = self._step(
-            self.params,
-            self.original_image,
-            prev_dev,
-            jnp.asarray(np.asarray(roi, dtype=np.int32)),
-            jnp.asarray(points),
-        )
+        roi_arr = jnp.asarray(np.asarray(roi, dtype=np.int32))
+        if self.cache_backbone:
+            if self._trunk_cache is None or self._trunk_cache[0] != self._roi_version:
+                trunk = self._trunk_fn(self.params, self.original_image,
+                                       prev_dev, roi_arr)
+                self._trunk_cache = (self._roi_version, trunk)
+            probs_pad = self._cached_step(
+                self.params, self.original_image, prev_dev, roi_arr,
+                jnp.asarray(points), self._trunk_cache[1],
+            )
+        else:
+            probs_pad = self._step(
+                self.params,
+                self.original_image,
+                prev_dev,
+                roi_arr,
+                jnp.asarray(points),
+            )
         self._prev_probs_dev = probs_pad
         probs = np.asarray(probs_pad)[0, :h, :w, 0]
         self.prev_prediction = probs

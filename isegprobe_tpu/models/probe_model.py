@@ -263,6 +263,41 @@ class iSegProbeModel(nn.Module):
         )
         return outputs
 
+    # -- late-injection caching seams (SURVEY.md §7 delta #2) ---------------
+    # With 'after_backbone' injection the frozen trunk depends only on the
+    # image crop, so the per-click loop can cache it and rerun just the
+    # click-embed + add + upsampler + head.
+
+    def compute_backbone_trunk(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Trunk features of the (un-normalized, possibly prev-mask-extended)
+        crop, with no click injection. [B, gh, gw, C]."""
+        image, _ = self.prepare_input(image)
+        return self.backbone(image, None)
+
+    def forward_with_cached_trunk(
+        self, image: jnp.ndarray, points: jnp.ndarray, trunk_feats: jnp.ndarray
+    ) -> Dict:
+        """Late-injection forward reusing cached trunk features."""
+        image, prev_mask = self.prepare_input(image)
+        coord_features = self.get_coord_features(image, prev_mask, points)
+        if self.maps_transform is not None:
+            coord_features = self.maps_transform(coord_features)
+        coord_tokens = self.embed_coords(coord_features)
+
+        b, gh, gw, c = trunk_feats.shape
+        # same add the featurizers perform for 'after_backbone'
+        feats = trunk_feats.astype(jnp.float32) + coord_tokens.reshape(
+            b, gh, gw, c
+        ).astype(jnp.float32)
+
+        feats = self.upsampler(feats, image)
+        h, w = image.shape[1], image.shape[2]
+        if self.upsampler_type != "identity" and feats.shape[1:3] != (h, w):
+            feats = resize(feats, (h, w), "bilinear", align_corners=True)
+        out = self.head(feats)
+        out = resize(out, (h, w), "bilinear", align_corners=True)
+        return {"instances": out, "instances_aux": None}
+
     def get_lowres_highres_feats(self, image, points) -> Tuple[Dict, Dict]:
         """Feature-probe path (reference: iseg_probe_model.py:136-174)."""
         image, prev_mask = self.prepare_input(image)

@@ -57,7 +57,11 @@ class JBULearnedRange(nn.Module):
 
         impl = self.impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            # the fused Pallas kernel is numerically verified (interpret mode,
+            # tests/test_jbu_kernel.py) but this environment's remote Mosaic
+            # compile service stalls on it; default to the XLA composition
+            # until the kernel compile is validated on a standard TPU runtime
+            impl = "xla"
         if impl in ("pallas", "pallas_interpret"):
             from isegprobe_tpu.ops.jbu_kernel import jbu_filter_pallas
 

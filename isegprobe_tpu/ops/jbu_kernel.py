@@ -126,7 +126,7 @@ def jbu_filter_pallas(hr, proj, temp, sigma, interpret: bool = False):
     # tile sized to keep halo slabs + fori carries + one tap's temporaries
     # inside the 16M scoped-VMEM budget
     th = min(16, max(8, h))
-    tw = min(128, max(8, w))
+    tw = min(96, max(8, w))
 
     # output tiling covers [0, hp) x [0, wp) with hp/wp the tile-rounded-up
     # extents; straddling tiles read only the reflect halo for their valid

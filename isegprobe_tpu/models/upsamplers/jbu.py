@@ -68,14 +68,25 @@ class JBULearnedRange(nn.Module):
             return jbu_filter_pallas(hr, proj, range_temp, sigma_spatial,
                                      interpret=(impl == "pallas_interpret"))
 
+        # Rolled tap loops (lax.fori_loop + dynamic_slice): the naive 49-term
+        # unrolled composition materializes ~49 × [B, gh, gw, C] intermediates
+        # and OOMs HBM at the x16 stage of a 448² eval.
         proj_pad = jnp.pad(proj, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
-        # range similarities for the 49 window offsets
-        sims = []
-        for ky in range(d):
-            for kx in range(d):
-                shifted = proj_pad[:, ky : ky + gh, kx : kx + gw]
-                sims.append(jnp.sum(proj * shifted, axis=-1))
-        sims = jnp.stack(sims, axis=-1)  # [B, gh, gw, d*d]
+        b = proj.shape[0]
+        kc = proj.shape[-1]
+
+        def sims_body(p, sims):
+            ky, kx = p // d, p % d
+            shifted = jax.lax.dynamic_slice(
+                proj_pad, (0, ky, kx, 0), (b, gh, gw, kc)
+            )
+            s = jnp.sum(proj * shifted, axis=-1)
+            return jax.lax.dynamic_update_index_in_dim(sims, s, p, axis=-1)
+
+        sims = jax.lax.fori_loop(
+            0, d * d, sims_body,
+            jnp.zeros((b, gh, gw, d * d), jnp.float32),
+        )
         temp = jnp.clip(jnp.exp(range_temp), 1e-4, 1e4)
         range_kernel = jax.nn.softmax(temp * sims, axis=-1)
 
@@ -87,13 +98,17 @@ class JBULearnedRange(nn.Module):
         kernel = kernel / jnp.clip(kernel.sum(axis=-1, keepdims=True), 1e-7)
 
         hr_pad = jnp.pad(hr, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
-        out = jnp.zeros_like(hr)
-        p = 0
-        for ky in range(d):
-            for kx in range(d):
-                out = out + kernel[..., p : p + 1] * hr_pad[:, ky : ky + gh, kx : kx + gw]
-                p += 1
-        return out
+        c = hr.shape[-1]
+
+        def acc_body(p, out):
+            ky, kx = p // d, p % d
+            shifted = jax.lax.dynamic_slice(
+                hr_pad, (0, ky, kx, 0), (b, gh, gw, c)
+            )
+            w = jax.lax.dynamic_index_in_dim(kernel, p, axis=-1, keepdims=True)
+            return out + w * shifted
+
+        return jax.lax.fori_loop(0, d * d, acc_body, jnp.zeros_like(hr))
 
 
 class JBUFeatUpUpsampler(nn.Module):

@@ -94,6 +94,27 @@ def _mha_pallas(q, k, v, scale, interpret=False):
     return jnp.moveaxis(out, 1, 2)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _mha_pallas_ad(q, k, v, scale, interpret=False):
+    """Differentiable wrapper: fused Pallas forward, jnp-graph backward (the
+    kernel itself has no VJP; training through frozen backbones still needs
+    gradients w.r.t. injected click tokens)."""
+    return _mha_pallas(q, k, v, scale, interpret)
+
+
+def _mha_pallas_ad_fwd(q, k, v, scale, interpret=False):
+    return _mha_pallas(q, k, v, scale, interpret), (q, k, v)
+
+
+def _mha_pallas_ad_bwd(scale, interpret, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: _mha_jnp(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_mha_pallas_ad.defvjp(_mha_pallas_ad_fwd, _mha_pallas_ad_bwd)
+
+
 def mha(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -113,7 +134,7 @@ def mha(
     if impl == "jnp":
         return _mha_jnp(q, k, v, scale)
     if impl == "pallas":
-        return _mha_pallas(q, k, v, scale)
+        return _mha_pallas_ad(q, k, v, scale)
     if impl == "pallas_interpret":
-        return _mha_pallas(q, k, v, scale, interpret=True)
+        return _mha_pallas_ad(q, k, v, scale, True)
     raise ValueError(f"Unknown attention impl: {impl}")

@@ -1,0 +1,97 @@
+"""Composable eval-transform objects: ZoomIn/Crops/flip protocol behavior."""
+
+import numpy as np
+
+from isegprobe_tpu.inference.clicker import Click
+from isegprobe_tpu.inference.transforms import (
+    AddHorizontalFlip,
+    Crops,
+    LimitLongestSide,
+    SigmoidForPred,
+    ZoomIn,
+    get_offsets,
+)
+
+
+def test_get_offsets_reference_formula():
+    # length == crop -> single offset (reference: crops.py:97-117)
+    assert get_offsets(320, 320) == [0]
+    offs = get_offsets(700, 320, 0.2)
+    assert offs[0] == 0 and offs[-1] + 320 <= 700
+    assert all(b > a for a, b in zip(offs, offs[1:]))
+
+
+def test_zoomin_fixed_mode_roundtrip():
+    rng = np.random.default_rng(0)
+    image = rng.random((1, 60, 80, 4), dtype=np.float32)
+    z = ZoomIn(target_size=(56, 56), skip_clicks=-1)
+    clicks = [Click(is_positive=True, coords=(30, 40), indx=0)]
+
+    out, tclicks = z.transform(image, [clicks])
+    # first click: no prev probs -> full-image ROI, resized to target
+    assert out.shape == (1, 56, 56, 4)
+    assert z._object_roi == (0, 59, 0, 79)
+    # click remap: new_r = 56*(30-0)/60
+    assert np.isclose(tclicks[0][0].coords[0], 56 * 30 / 60)
+
+    probs = rng.random((1, 56, 56, 1), dtype=np.float32)
+    full = z.inv_transform(probs)
+    assert full.shape == (1, 60, 80, 1)
+
+    # second click inside the predicted object reuses the ROI when IoU is high
+    clicks.append(Click(is_positive=True, coords=(31, 41), indx=1))
+    out2, _ = z.transform(image, [clicks])
+    assert out2.shape == (1, 56, 56, 4)
+
+    state = z.get_state()
+    z.reset()
+    assert z._object_roi is None
+    z.set_state(state)
+    assert z._object_roi is not None
+
+
+def test_crops_tile_and_stitch_average():
+    rng = np.random.default_rng(1)
+    image = rng.random((1, 50, 70, 3), dtype=np.float32)
+    c = Crops(crop_size=(32, 32), min_overlap=0.2)
+    crops, clicks_lists = c.transform(
+        image, [[Click(is_positive=True, coords=(10, 10), indx=0)]]
+    )
+    n = len(c.y_offsets) * len(c.x_offsets)
+    assert crops.shape[0] == n
+    assert len(clicks_lists) == n
+
+    probs = np.ones((n, 32, 32, 1), dtype=np.float32)
+    full = c.inv_transform(probs)
+    assert full.shape == (1, 50, 70, 1)
+    # count-averaged stitch of all-ones is all-ones
+    np.testing.assert_allclose(full, 1.0, atol=1e-6)
+
+
+def test_flip_and_sigmoid():
+    rng = np.random.default_rng(2)
+    image = rng.random((1, 20, 30, 3), dtype=np.float32)
+    f = AddHorizontalFlip()
+    out, clists = f.transform(image, [[Click(True, (5, 4), 0)]])
+    assert out.shape[0] == 2
+    assert clists[1][0].coords == (5, 30 - 4 - 1)
+    probs = rng.random((2, 20, 30, 1), dtype=np.float32)
+    merged = f.inv_transform(probs)
+    np.testing.assert_allclose(
+        merged, 0.5 * (probs[:1] + probs[1:, :, ::-1]), atol=1e-6
+    )
+
+    s = SigmoidForPred()
+    logits = np.array([[0.0]])
+    np.testing.assert_allclose(s.inv_transform(logits), 0.5)
+
+
+def test_limit_longest_side():
+    rng = np.random.default_rng(3)
+    image = rng.random((1, 100, 200, 3), dtype=np.float32)
+    t = LimitLongestSide(max_size=80)
+    out, _ = t.transform(image, [[]])
+    assert max(out.shape[1:3]) == 80
+    small = rng.random((1, 40, 60, 3), dtype=np.float32)
+    out2, _ = t.transform(small, [[]])
+    assert out2.shape == small.shape  # untouched below the limit

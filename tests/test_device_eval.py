@@ -1,0 +1,72 @@
+"""On-device NoC loop vs the host clicker+predictor protocol: IoU trajectories
+must match on the same model/weights."""
+
+import jax
+import numpy as np
+import pytest
+
+from isegprobe_tpu.inference.device_eval import (
+    evaluate_sample_device,
+    make_device_evaluator,
+)
+from isegprobe_tpu.inference.evaluation import evaluate_sample
+from isegprobe_tpu.inference.predictor import TPUPredictor
+from isegprobe_tpu.models.probe_model import iSegProbeModel
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(56, 56), patch_size=(14, 14), embed_dim=384),
+        ),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1, num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        use_disks=True,
+        norm_radius=5,
+        with_prev_mask=True,
+        attn_impl="jnp",
+    )
+    image = np.zeros((1, 56, 56, 4), dtype=np.float32)
+    points = np.full((1, 4, 3), -1.0, dtype=np.float32)
+    params = model.init(jax.random.PRNGKey(0), image, points)["params"]
+    return model, params
+
+
+def _scene(seed):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((60, 70, 3)) * 70).astype(np.uint8)
+    gt = np.zeros((60, 70), np.int32)
+    gt[15:45, 20:60] = 1
+    img[gt == 1] = [185, 175, 85]
+    return img, gt
+
+
+@pytest.mark.parametrize("seed", [0, 5])
+def test_device_loop_matches_host_protocol(model_and_params, seed):
+    model, params = model_and_params
+    img, gt = _scene(seed)
+    max_clicks = 4
+
+    host_pred = TPUPredictor(model, params, target_size=(56, 56),
+                             with_flip=True, net_clicks_limit=max_clicks)
+    _, host_ious, _ = evaluate_sample(
+        img, gt, host_pred, max_iou_thr=0.95, pred_thr=0.49,
+        max_clicks=max_clicks,
+    )
+
+    run = make_device_evaluator(
+        model, target_size=(56, 56), max_clicks=max_clicks,
+        net_clicks_limit=max_clicks, pred_thr=0.49, target_iou=0.95,
+        with_flip=True,
+    )
+    dev_ious = evaluate_sample_device(run, params, img, gt)
+
+    assert len(dev_ious) == len(host_ious), (
+        f"click counts diverge: host {len(host_ious)} vs device {len(dev_ious)}"
+    )
+    np.testing.assert_allclose(dev_ious, host_ious, rtol=1e-3, atol=1e-3)

@@ -62,30 +62,29 @@ def synthetic_sample(hw=(480, 640)):
 
 
 def measure_ours() -> list:
-    from isegprobe_tpu.inference.clicker import Clicker
+    """Per-click latency of the fully on-device NoC loop (one dispatch per
+    sample; protocol-parity-tested against the host clicker+predictor path in
+    tests/test_device_eval.py)."""
+    from isegprobe_tpu.inference.device_eval import (
+        evaluate_sample_device,
+        make_device_evaluator,
+    )
 
     predictor = build_predictor()
     img, gt = synthetic_sample()
+    run = make_device_evaluator(
+        predictor.model, target_size=(448, 448), max_clicks=20,
+        net_clicks_limit=20, pred_thr=0.49, target_iou=1.01, with_flip=True,
+    )
+    # warmup / compile
+    evaluate_sample_device(run, predictor.params, img, gt)
 
-    # warmup: compile the click step (covers both ROI-shape branches)
-    predictor.set_input_image(img)
-    clicker = Clicker(gt_mask=gt)
-    pred_mask = np.zeros_like(gt, dtype=bool)
-    for _ in range(N_WARMUP):
-        clicker.make_next_click(pred_mask)
-        probs = predictor.get_prediction(clicker)
-        pred_mask = probs > 0.49
-
-    predictor.set_input_image(img)
-    clicker = Clicker(gt_mask=gt)
-    pred_mask = np.zeros_like(gt, dtype=bool)
     times = []
-    for _ in range(N_CLICKS):
+    for _ in range(max(1, N_CLICKS // 20)):
         t0 = time.perf_counter()
-        clicker.make_next_click(pred_mask)
-        probs = predictor.get_prediction(clicker)
-        pred_mask = probs > 0.49
-        times.append(time.perf_counter() - t0)
+        ious = evaluate_sample_device(run, predictor.params, img, gt)
+        per_click = (time.perf_counter() - t0) / max(1, len(ious))
+        times.extend([per_click] * len(ious))
     return times
 
 

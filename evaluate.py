@@ -194,17 +194,47 @@ def main() -> None:
 
                 jax.profiler.start_trace(profile_dir)
             latencies: list = []
-            all_ious, elapsed = evaluate_dataset(
-                dataset,
-                predictor,
-                latencies=latencies,
-                max_iou_thr=eval_cfg.target_iou,
-                pred_thr=eval_cfg.thresh,
-                min_clicks=eval_cfg.min_n_clicks,
-                max_clicks=eval_cfg.n_clicks,
-                callback=vis_callback,
-                feats_callback=feats_callback,
-            )
+            if eval_cfg.get("device_loop", False) and eval_cfg.mode == "NoBRS":
+                # fast path: the whole ≤n_clicks protocol as one compiled
+                # program per sample (protocol parity: tests/test_device_eval.py)
+                from time import time as _time
+
+                from isegprobe_tpu.inference.device_eval import (
+                    evaluate_sample_device,
+                    make_device_evaluator,
+                )
+
+                run = make_device_evaluator(
+                    model, target_size=zoomin_params["target_size"],
+                    max_clicks=eval_cfg.n_clicks,
+                    net_clicks_limit=eval_cfg.clicks_limit or eval_cfg.n_clicks,
+                    pred_thr=eval_cfg.thresh, target_iou=eval_cfg.target_iou,
+                    with_flip=True,
+                )
+                all_ious = []
+                t0 = _time()
+                for index in range(len(dataset)):
+                    sample = dataset.get_sample(index)
+                    for object_id in sample.objects_ids:
+                        ts = _time()
+                        ious = evaluate_sample_device(
+                            run, params, sample.image, sample.gt_mask(object_id)
+                        )
+                        latencies.append((_time() - ts) / max(1, len(ious)))
+                        all_ious.append(ious)
+                elapsed = _time() - t0
+            else:
+                all_ious, elapsed = evaluate_dataset(
+                    dataset,
+                    predictor,
+                    latencies=latencies,
+                    max_iou_thr=eval_cfg.target_iou,
+                    pred_thr=eval_cfg.thresh,
+                    min_clicks=eval_cfg.min_n_clicks,
+                    max_clicks=eval_cfg.n_clicks,
+                    callback=vis_callback,
+                    feats_callback=feats_callback,
+                )
             if profile_dir:
                 jax.profiler.stop_trace()
 

@@ -13,7 +13,7 @@ import cv2
 import numpy as np
 
 from isegprobe_tpu.inference.evaluation import get_iou
-from isegprobe_tpu.utils.viz import draw_points, draw_probmap, draw_with_blend_and_clicks
+from isegprobe_tpu.utils.viz import draw_points, draw_with_blend_and_clicks
 
 
 def get_prediction_vis_callback(logs_path, dataset_name: str,

@@ -128,6 +128,49 @@ def convert_loftup(upsampler_sd: Mapping, channelnorm_sd: Mapping,
     }
 
 
+def convert_reference_checkpoint(torch_checkpoint: Mapping) -> Dict:
+    """Convert a reference-trained iSegProbe checkpoint
+    ({'state_dict', 'config'} — reference: core/utils/misc.py:36-68) into this
+    framework's {'params', 'config'}.
+
+    The trained modules are embed_coords (PatchEmbed conv) and the conv head
+    (mmcv ConvModule stacks, reference: core/model/heads/conv_heads.py); frozen
+    backbones/upsamplers are reloaded separately from converted pretrained
+    weights. The config keys are shared by construction.
+    """
+    sd = torch_checkpoint["state_dict"]
+    ref_cfg = torch_checkpoint.get("config", {})
+
+    params: Dict[str, Any] = {}
+    if "embed_coords.proj.weight" in sd:
+        params["embed_coords"] = {"proj": _conv(sd, "embed_coords.proj")}
+    head: Dict[str, Any] = {}
+    i = 0
+    # mmcv ConvModule stacks: head.convs.{i}.conv.*
+    while f"head.convs.{i}.conv.weight" in sd:
+        head[f"convs_{i}"] = _conv(sd, f"head.convs.{i}.conv")
+        i += 1
+    if "head.classifier.weight" in sd:
+        head["classifier"] = _conv(sd, "head.classifier")
+    if head:
+        params["head"] = head
+
+    config = None
+    if ref_cfg:
+        ref_params = ref_cfg.get("params", ref_cfg)
+        keep = (
+            "backbone_cfg", "head_cfg", "embed_coords_cfg", "neck_cfg",
+            "upsampler_cfg", "save_cfg", "architecture", "use_disks",
+            "norm_radius", "with_prev_mask", "with_aux_output",
+            "use_rgb_conv", "use_leaky_relu",
+        )
+        config = {
+            "class": "isegprobe_tpu.models.probe_model.iSegProbeModel",
+            "params": {k: ref_params[k] for k in keep if k in ref_params},
+        }
+    return {"params": params, "config": config}
+
+
 def interpolate_pos_embed_params(
     pos_embed: np.ndarray,
     old_grid: tuple,

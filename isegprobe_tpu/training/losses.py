@@ -9,7 +9,7 @@ losses.py:67-84) is returned as aux metrics instead of hidden mutable state.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

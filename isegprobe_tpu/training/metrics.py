@@ -6,7 +6,7 @@ train step; the EMA-threshold adaptation stays host-side (tiny scalar state).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ D+1 = everything else).
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Iterable, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import optax

@@ -56,10 +56,21 @@ def init_experiment(cfg: EDict, model_name: Optional[str] = None) -> EDict:
         model_name = model_name or model_path.stem
         rel = Path()
 
-    # merge machine paths
+    # per-model yaml override next to the script (reference: exp.py:156-162)
+    side_cfg_path = model_path.parent / (model_path.stem + ".yaml")
+    if side_cfg_path.exists():
+        for k, v in load_yaml(side_cfg_path).items():
+            cfg.setdefault(k, v)
+
+    # merge machine paths, honoring the SUBCONFIGS per-model hook
+    # (reference: exp.py:182-193)
     main_cfg_path = find_main_config(model_path.parent) or find_main_config(".")
     if main_cfg_path is not None:
-        for k, v in load_yaml(main_cfg_path).items():
+        main = load_yaml(main_cfg_path)
+        sub = main.pop("SUBCONFIGS", None)
+        if sub and model_path.stem in sub:
+            main.update(sub[model_path.stem])
+        for k, v in main.items():
             cfg.setdefault(k, v)
     cfg.EXPS_PATH = Path(cfg.get("EXPS_PATH", "./experiments"))
 

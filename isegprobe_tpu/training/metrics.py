@@ -31,6 +31,33 @@ def compute_iou(pred_mask, gt_mask, ignore_mask=None, keep_ignore: bool = False)
     return result
 
 
+def device_iou_stats(logits, gt, thresh, step, ignore_label=-1):
+    """Batch IoU at {thresh-step, thresh, thresh+step}, computed inside the
+    compiled train step so only 4 scalars cross to the host (the reference
+    pulls full logits to the CPU every batch, metrics.py:55-78).
+
+    Returns (ious [3], valid) — valid is False when every gt mask is empty
+    (the reference skips the update then)."""
+    import jax
+
+    pred = jax.nn.sigmoid(logits)
+    gt_mask = gt > 0.5
+    ignore = gt == ignore_label
+    axes = tuple(range(1, gt.ndim))
+    valid = jnp.any(jnp.sum(gt_mask, axis=axes) > 0)
+
+    def iou_at(t):
+        pm = (pred > t) & ~ignore
+        union = jnp.mean((pm | gt_mask).astype(jnp.float32), axis=axes)
+        inter = jnp.mean((pm & gt_mask).astype(jnp.float32), axis=axes)
+        nonzero = union > 0
+        per = jnp.where(nonzero, inter / jnp.maximum(union, 1e-12), 0.0)
+        return jnp.sum(per) / jnp.maximum(jnp.sum(nonzero), 1)
+
+    ious = jnp.stack([iou_at(thresh - step), iou_at(thresh), iou_at(thresh + step)])
+    return ious, valid
+
+
 class TrainMetric:
     def __init__(self, pred_outputs, gt_outputs):
         self.pred_outputs = pred_outputs
@@ -99,6 +126,24 @@ class AdaptiveIoU(TrainMetric):
                 max_iou = temp_iou
                 best_thresh = t
 
+        self._iou_thresh = (
+            self._thresh_beta * self._iou_thresh + (1 - self._thresh_beta) * best_thresh
+        )
+        self._ema_iou = self._iou_beta * self._ema_iou + (1 - self._iou_beta) * max_iou
+        self._epoch_iou_sum += max_iou
+        self._epoch_batch_count += 1
+
+    def update_from_stats(self, ious, valid: bool) -> None:
+        """Device-computed variant of :meth:`update`: ious are the batch IoUs
+        at (thresh-step, thresh, thresh+step) from :func:`device_iou_stats`."""
+        if not valid:
+            return
+        lo, mid, hi = (float(x) for x in ious)
+        max_iou, best_thresh = mid, self._iou_thresh
+        if lo > max_iou:
+            max_iou, best_thresh = lo, self._iou_thresh - self._thresh_step
+        if hi > max_iou:
+            max_iou, best_thresh = hi, self._iou_thresh + self._thresh_step
         self._iou_thresh = (
             self._thresh_beta * self._iou_thresh + (1 - self._thresh_beta) * best_thresh
         )

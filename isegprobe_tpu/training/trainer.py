@@ -326,7 +326,8 @@ class iSegTrainer:
             prev = jnp.where(drop, jnp.zeros_like(prev), prev)
         return prev, points, rng
 
-    def _step(self, params, opt_state, batch, rng, num_iters, training=True):
+    def _step(self, params, opt_state, batch, rng, num_iters, iou_thresh=0.4,
+              iou_step=0.025, training=True):
         frozen = jax.lax.stop_gradient(params["frozen"])
 
         full0 = {**params["trainable"], **frozen}
@@ -354,7 +355,14 @@ class iSegTrainer:
             new_params, opt_state = params, opt_state
 
         logging_out["overall"] = loss
-        return new_params, opt_state, loss, logging_out, outputs["instances"]
+        # metric stats computed on device: 4 scalars instead of a full logits
+        # transfer every step (reference pulls logits to CPU, metrics.py:55-78)
+        from isegprobe_tpu.training.metrics import device_iou_stats
+
+        iou_stats, iou_valid = device_iou_stats(
+            outputs["instances"], batch["instances"], iou_thresh, iou_step
+        )
+        return new_params, opt_state, loss, logging_out, (iou_stats, iou_valid)
 
     # ------------------------------------------------------------------
     # epoch loops
@@ -390,9 +398,11 @@ class iSegTrainer:
             self.rng, step_rng = jax.random.split(self.rng)
             batch = self._prep_batch(batch_data)
 
-            self.params, self.opt_state, loss, logging_out, logits = (
+            thr = (self.train_metrics[0].iou_thresh
+                   if self.train_metrics else 0.4)
+            self.params, self.opt_state, loss, logging_out, iou_stats = (
                 self._train_step(self.params, self.opt_state, batch, step_rng,
-                                 num_iters)
+                                 num_iters, thr)
             )
 
             loss_val = float(loss)
@@ -407,7 +417,7 @@ class iSegTrainer:
                     global_step,
                 )
             for m in self.train_metrics:
-                m.update(np.asarray(logits), np.asarray(batch_data["instances"]))
+                m.update_from_stats(np.asarray(iou_stats[0]), bool(iou_stats[1]))
 
         elapsed = time.time() - t0
         n = max(1, len(self.train_data))
@@ -429,13 +439,14 @@ class iSegTrainer:
             self.rng, step_rng = jax.random.split(self.rng)
             batch = self._prep_batch(batch_data)
             num_iters = pyrandom.randint(0, self.max_num_next_clicks)
-            _, _, loss, _, logits = self._val_step(
-                self.params, self.opt_state, batch, step_rng, num_iters
+            thr = self.val_metrics[0].iou_thresh if self.val_metrics else 0.4
+            _, _, loss, _, iou_stats = self._val_step(
+                self.params, self.opt_state, batch, step_rng, num_iters, thr
             )
             val_loss += float(loss)
             count += 1
             for m in self.val_metrics:
-                m.update(np.asarray(logits), np.asarray(batch_data["instances"]))
+                m.update_from_stats(np.asarray(iou_stats[0]), bool(iou_stats[1]))
         if count:
             logger.info("Epoch %d: val loss %.4f", epoch, val_loss / count)
             if self.sw is not None:

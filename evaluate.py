@@ -200,7 +200,7 @@ def main() -> None:
                 from time import time as _time
 
                 from isegprobe_tpu.inference.device_eval import (
-                    evaluate_sample_device,
+                    evaluate_dataset_device,
                     make_device_evaluator,
                 )
 
@@ -211,18 +211,12 @@ def main() -> None:
                     pred_thr=eval_cfg.thresh, target_iou=eval_cfg.target_iou,
                     with_flip=True,
                 )
-                all_ious = []
                 t0 = _time()
-                for index in range(len(dataset)):
-                    sample = dataset.get_sample(index)
-                    for object_id in sample.objects_ids:
-                        ts = _time()
-                        ious = evaluate_sample_device(
-                            run, params, sample.image, sample.gt_mask(object_id)
-                        )
-                        latencies.append((_time() - ts) / max(1, len(ious)))
-                        all_ious.append(ious)
+                all_ious = evaluate_dataset_device(run, params, dataset)
                 elapsed = _time() - t0
+                n_clicks_total = sum(len(a) for a in all_ious)
+                latencies.extend([elapsed / max(1, n_clicks_total)]
+                                 * n_clicks_total)
             else:
                 all_ious, elapsed = evaluate_dataset(
                     dataset,

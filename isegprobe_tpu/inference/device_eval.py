@@ -261,10 +261,12 @@ def make_device_evaluator(
     return run
 
 
-def evaluate_sample_device(
+def submit_sample_device(
     run_fn, params, image: np.ndarray, gt_mask: np.ndarray, bucket: int = 64
 ):
-    """Host wrapper: pad to the bucket, run the compiled loop, crop outputs."""
+    """Asynchronously dispatch one sample's full click loop; returns device
+    handles (ious_dev, n_dev) that sync lazily — lets the host pipeline the
+    next sample's dispatch behind the current one's compute."""
     if image.dtype == np.uint8:
         image = image.astype(np.float32) / 255.0
     h, w = image.shape[:2]
@@ -275,11 +277,44 @@ def evaluate_sample_device(
     gt_pad = np.zeros((hp, wp), np.int32)
     gt_pad[:h, :w] = gt_mask
 
-    ious, n = run_fn(
+    return run_fn(
         params,
         jnp.asarray(image_pad),
         jnp.asarray(gt_pad),
         jnp.asarray([h, w], jnp.int32),
     )
-    n = int(n)
-    return np.asarray(ious)[:n]
+
+
+def collect_sample_device(handles) -> np.ndarray:
+    ious, n = handles
+    return np.asarray(ious)[: int(n)]
+
+
+def evaluate_sample_device(
+    run_fn, params, image: np.ndarray, gt_mask: np.ndarray, bucket: int = 64
+):
+    """Host wrapper: pad to the bucket, run the compiled loop, crop outputs."""
+    return collect_sample_device(
+        submit_sample_device(run_fn, params, image, gt_mask, bucket)
+    )
+
+
+def evaluate_dataset_device(run_fn, params, dataset, depth: int = 2):
+    """Pipelined dataset evaluation: keep `depth` samples in flight so the
+    host never stalls on a sync while the device has work queued."""
+    from collections import deque
+
+    pending: deque = deque()
+    all_ious = []
+    for index in range(len(dataset)):
+        sample = dataset.get_sample(index)
+        for object_id in sample.objects_ids:
+            pending.append(
+                submit_sample_device(run_fn, params, sample.image,
+                                     sample.gt_mask(object_id))
+            )
+            if len(pending) >= depth:
+                all_ious.append(collect_sample_device(pending.popleft()))
+    while pending:
+        all_ious.append(collect_sample_device(pending.popleft()))
+    return all_ious

@@ -1,8 +1,17 @@
-"""Dataset base class (reference: core/data/base_dataset.py:16-122).
+"""Dataset base class (behavior spec: reference core/data/base_dataset.py:16-122).
 
-Framework-neutral (no torch.utils.data): training batching is done by the
-trainer's host prefetch loop. Items are NHWC numpy: {'images': [H, W, 3] f32,
-'points': [2N, 3] f32, 'instances': [H, W, 1] f32}.
+Framework-neutral (no torch.utils.data): batching is done by the trainer's
+host prefetch loop.  Items are NHWC numpy::
+
+    {'images': [H, W, 3] f32 in [0, 1],
+     'points': [2N, 3] f32 (y, x, label), padded with -1,
+     'instances': [H, W, 1] f32}
+
+Structure: index resolution (virtual epochs / difficulty-weighted resampling)
+lives in ``_resolve_index`` + the ``_WeightedIndex`` helper; item assembly in
+``__getitem__`` is a straight pipeline over ``get_sample`` → augmentation →
+click synthesis.  Subclasses implement ``get_sample`` and fill
+``dataset_samples``.
 """
 
 from __future__ import annotations
@@ -14,6 +23,24 @@ from typing import Dict, Optional
 import numpy as np
 
 from isegprobe_tpu.data.sample import DSample
+
+
+class _WeightedIndex:
+    """Difficulty-weighted index resampling from a precomputed score pickle.
+
+    The pickle holds (index, _, score) triples; an item's draw probability is
+    ``(1 - score) ** gamma`` normalized (ref base_dataset.py:107-122).
+    """
+
+    def __init__(self, path: str, gamma: float) -> None:
+        with open(path, "rb") as f:
+            rows = pickle.load(f)
+        self.indices = [r[0] for r in rows]
+        w = np.array([(1.0 - r[2]) ** gamma for r in rows], dtype=np.float64)
+        self.probs = w / w.sum()
+
+    def draw(self) -> int:
+        return np.random.choice(self.indices, p=self.probs)
 
 
 class iSegBaseDataset:
@@ -35,77 +62,79 @@ class iSegBaseDataset:
         self.keep_background_prob = keep_background_prob
         self.points_sampler = points_sampler
         self.with_image_info = with_image_info
-        self.samples_precomputed_scores = self._load_samples_scores(
-            samples_scores_path, samples_scores_gamma
-        )
         self.sample_points = sample_points
         self.dataset_samples = None
+        self._weighted_index = (
+            _WeightedIndex(samples_scores_path, samples_scores_gamma)
+            if samples_scores_path is not None
+            else None
+        )
 
-    def __getitem__(self, index: int) -> Dict:
-        if self.samples_precomputed_scores is not None:
-            index = np.random.choice(
-                self.samples_precomputed_scores["indices"],
-                p=self.samples_precomputed_scores["probs"],
-            )
-        elif self.epoch_len > 0:
-            index = random.randrange(0, len(self.dataset_samples))
+    # -- index resolution ---------------------------------------------------
 
-        sample = self.get_sample(index)
-        sample = self.augment_sample(sample)
+    def _resolve_index(self, index: int) -> int:
+        """Map the loader's index to a concrete sample index.
 
-        sample.remove_small_objects(self.min_object_area)
-        self.points_sampler.sample_object(sample)
-        if self.sample_points:
-            points = np.array(self.points_sampler.sample_points())
-        else:
-            points = np.empty([self.points_sampler.max_num_points * 2, 3])
-        mask = self.points_sampler.selected_mask  # [1, H, W] float
-
-        output = {
-            "images": np.ascontiguousarray(sample.image, dtype=np.float32) / 255.0
-            if sample.image.dtype == np.uint8
-            else np.ascontiguousarray(sample.image, dtype=np.float32),
-            "points": points.astype(np.float32),
-            "instances": np.moveaxis(mask, 0, -1).astype(np.float32),  # [H, W, 1]
-        }
-        if self.with_image_info:
-            output["image_info"] = sample.sample_id
-        return output
-
-    def augment_sample(self, sample: DSample) -> DSample:
-        if self.augmentator is None:
-            return sample
-        valid_augmentation = False
-        while not valid_augmentation:
-            sample.augment(self.augmentator)
-            keep_sample = (
-                self.keep_background_prob < 0.0
-                or random.random() < self.keep_background_prob
-            )
-            valid_augmentation = len(sample) > 0 or keep_sample
-        return sample
-
-    def get_sample(self, index: int) -> DSample:
-        raise NotImplementedError
+        Difficulty weighting (when configured) and virtual epochs
+        (``epoch_len > 0``) both *replace* the incoming index with a random
+        draw; otherwise the index passes through unchanged.
+        """
+        if self._weighted_index is not None:
+            return self._weighted_index.draw()
+        if self.epoch_len > 0:
+            return random.randrange(len(self.dataset_samples))
+        return index
 
     def __len__(self) -> int:
-        if self.epoch_len > 0:
-            return self.epoch_len
-        return self.get_samples_number()
+        return self.epoch_len if self.epoch_len > 0 else self.get_samples_number()
 
     def get_samples_number(self) -> int:
         return len(self.dataset_samples)
 
-    @staticmethod
-    def _load_samples_scores(samples_scores_path, samples_scores_gamma):
-        """Precomputed per-sample difficulty weighting
-        (reference: base_dataset.py:107-122)."""
-        if samples_scores_path is None:
-            return None
-        with open(samples_scores_path, "rb") as f:
-            images_scores = pickle.load(f)
-        probs = np.array(
-            [(1.0 - x[2]) ** samples_scores_gamma for x in images_scores]
+    # -- item assembly --------------------------------------------------------
+
+    def __getitem__(self, index: int) -> Dict:
+        sample = self.get_sample(self._resolve_index(index))
+        sample = self.augment_sample(sample)
+        sample.remove_small_objects(self.min_object_area)
+
+        self.points_sampler.sample_object(sample)
+        n_max = self.points_sampler.max_num_points * 2
+        points = (
+            np.array(self.points_sampler.sample_points(), dtype=np.float32)
+            if self.sample_points
+            else np.empty([n_max, 3], dtype=np.float32)
         )
-        probs /= probs.sum()
-        return {"indices": [x[0] for x in images_scores], "probs": probs}
+
+        image = np.ascontiguousarray(sample.image, dtype=np.float32)
+        if sample.image.dtype == np.uint8:
+            image /= 255.0
+
+        item = {
+            "images": image,
+            "points": points,
+            # selected_mask is [1, H, W]; device layout wants channels-last
+            "instances": np.moveaxis(
+                self.points_sampler.selected_mask, 0, -1
+            ).astype(np.float32),
+        }
+        if self.with_image_info:
+            item["image_info"] = sample.sample_id
+        return item
+
+    def augment_sample(self, sample: DSample) -> DSample:
+        """Re-roll the augmentation until at least one object survives (or a
+        background-only crop is explicitly kept with ``keep_background_prob``)."""
+        if self.augmentator is None:
+            return sample
+        while True:
+            sample.augment(self.augmentator)
+            if len(sample) > 0:
+                return sample
+            if self.keep_background_prob < 0.0:
+                return sample
+            if random.random() < self.keep_background_prob:
+                return sample
+
+    def get_sample(self, index: int) -> DSample:
+        raise NotImplementedError

@@ -1,31 +1,187 @@
-"""Synthetic click generation for training
-(reference: core/data/points_sampler.py:35-380).
+"""Training-time click synthesis.
 
-Click counts follow a geometric-decay distribution; positive clicks come from
-(optionally eroded) object masks, negatives from background / other-object /
-border-band strategies; the first click can be forced toward the object center
-via an EDT inner region. Host-side numpy — the output is the fixed-size padded
-points tensor consumed on device.
+Redesigned around two explicit stages instead of the reference's mutable
+method pipeline (reference behavior spec: core/data/points_sampler.py:35-380):
+
+1. *Planning* — ``_plan_clicks`` inspects a ``DSample`` and produces a
+   ``_ClickPlan``: the float target mask plus the **regions** future clicks may
+   land in (positive object cores, required hierarchy negatives, and a weighted
+   background mixture).
+2. *Rendering* — ``_render_group`` turns a list of regions into the fixed-size
+   padded ``(y, x, label)`` list the device consumes.
+
+Regions are small objects with a uniform ``draw(count)`` method
+(``_UniformRegion`` over one mask, ``_MixtureRegion`` over weighted masks), so
+the rendering logic is isinstance-free.  Click-count distributions, erosion /
+border-band construction, hierarchy descent, and the multi-object first-click
+rules match the reference's sampling distribution; morphology uses
+scipy.ndimage rank filters (cv2-free) and the centre-biased first click uses
+the in-repo exact EDT (ops/edt.py).
 """
 
 from __future__ import annotations
 
 import math
 import random
+from dataclasses import dataclass, field
 from functools import lru_cache
-from typing import List, Tuple
+from typing import List, Optional, Sequence, Tuple, Union
 
-import cv2
 import numpy as np
+from scipy import ndimage
 
 from isegprobe_tpu.data.sample import DSample
 from isegprobe_tpu.ops.edt import edt_l2sq
 
+Point = Tuple[int, int, int]
+_PAD: Point = (-1, -1, -1)
+# third click coordinate: 0 marks a centre-biased first click, 100 the rest
+_LABEL_CENTERED = 0
+_LABEL_FREE = 100
+
+
+# ------------------------------------------------------------------ morphology
+# cv2-free binary morphology.  An n-times iterated 3x3 erosion equals a single
+# (2n+1)-square minimum filter; cv2's default border treats out-of-image pixels
+# as foreground for erode (cval=1) and background for dilate (cval=0).
+
+
+def _shrink(mask: np.ndarray, iters: int) -> np.ndarray:
+    if iters <= 0:
+        return mask.astype(bool)
+    return ndimage.minimum_filter(
+        mask.astype(np.uint8), size=2 * iters + 1, mode="constant", cval=1
+    ).astype(bool)
+
+
+def _ring(mask: np.ndarray, radius: int) -> np.ndarray:
+    """Band of `radius` pixels hugging the outside of `mask`."""
+    if radius <= 0:
+        return np.zeros_like(mask, dtype=np.uint8)
+    grown = ndimage.maximum_filter(
+        mask.astype(np.uint8), size=2 * radius + 1, mode="constant", cval=0
+    )
+    grown[mask.astype(bool)] = 0
+    return grown
+
+
+def _centre_candidates(mask: np.ndarray, k: float, full_prob: float) -> np.ndarray:
+    """Coordinates of the EDT-inner region used for centre-biased first clicks.
+
+    ``k > 0``: every pixel whose boundary distance exceeds max/k (compared in
+    squared space: d² > d²max/k²).  ``k <= 0``: one pixel drawn with
+    probability ∝ distance.  ``full_prob`` short-circuits to the whole mask.
+    """
+    if full_prob > 0 and random.random() < full_prob:
+        return np.argwhere(mask)
+
+    d2 = edt_l2sq(np.pad(mask, 1).astype(np.uint8))[1:-1, 1:-1]
+    if k > 0:
+        return np.argwhere(d2 > d2.max() / (k * k))
+    weights = np.sqrt(d2).ravel()
+    weights /= max(weights.sum(), 1e-6)
+    flat = np.random.choice(weights.size, p=weights)
+    return np.array([np.unravel_index(flat, d2.shape)])
+
+
+# ------------------------------------------------------------------ regions
+
+
+class _UniformRegion:
+    """Clicks drawn uniformly from one boolean mask."""
+
+    __slots__ = ("mask", "centre_k", "centre_full_prob")
+
+    def __init__(self, mask, centre_k: float = 0.0, centre_full_prob: float = 0.0):
+        self.mask = mask
+        self.centre_k = centre_k
+        self.centre_full_prob = centre_full_prob
+
+    def draw(self, count: int, centred_first: bool = False) -> List[Point]:
+        coords = np.argwhere(self.mask)
+        out: List[Point] = []
+        for j in range(count):
+            if centred_first and j == 0:
+                pool = _centre_candidates(
+                    self.mask, self.centre_k, self.centre_full_prob
+                )
+                label = _LABEL_CENTERED
+            else:
+                pool = coords
+                label = _LABEL_FREE
+            if len(pool):
+                y, x = pool[np.random.randint(len(pool))][:2]
+                out.append((int(y), int(x), label))
+        return out
+
+
+class _MixtureRegion:
+    """Each click first picks a member mask by weight, then a uniform pixel."""
+
+    __slots__ = ("parts",)
+
+    def __init__(self, parts: Sequence[Tuple[np.ndarray, float]]):
+        self.parts = [(np.argwhere(m), w) for m, w in parts]
+        total = sum(w for _, w in self.parts)
+        assert math.isclose(total, 1.0), f"mixture weights sum to {total}"
+
+    def rescaled(self, factor: float) -> List[Tuple[np.ndarray, float]]:
+        """Member (coords, weight*factor) pairs, for folding into a union."""
+        return [(c, w * factor) for c, w in self.parts]
+
+    def draw(self, count: int, centred_first: bool = False) -> List[Point]:
+        del centred_first  # mixtures never host the centred first click
+        weights = [w for _, w in self.parts]
+        out: List[Point] = []
+        for _ in range(count):
+            pool, _ = self.parts[np.random.choice(len(self.parts), p=weights)]
+            if len(pool):
+                y, x = pool[np.random.randint(len(pool))][:2]
+                out.append((int(y), int(x), _LABEL_FREE))
+        return out
+
+
+_Region = Union[_UniformRegion, _MixtureRegion]
+
+
+def _union_mixture(regions: Sequence[_Region]) -> _MixtureRegion:
+    """Equal-weight union of a region list (mixtures keep internal weights)."""
+    parts: List[Tuple[np.ndarray, float]] = []
+    share = 1.0 / len(regions)
+    mix = _MixtureRegion.__new__(_MixtureRegion)
+    for r in regions:
+        if isinstance(r, _MixtureRegion):
+            parts.extend(r.rescaled(share))
+        else:
+            parts.append((np.argwhere(r.mask), share))
+    mix.parts = parts
+    return mix
+
+
+# ------------------------------------------------------------------ plan
+
+
+@dataclass
+class _ClickPlan:
+    target: np.ndarray  # float [H, W] ground-truth mask
+    positives: List[_UniformRegion] = field(default_factory=list)
+    required_negatives: List[_UniformRegion] = field(default_factory=list)
+    background: Optional[_MixtureRegion] = None
+
+
+@lru_cache(maxsize=None)
+def generate_probs(max_num_points: int, gamma: float) -> np.ndarray:
+    """Geometric-decay pmf over click counts (ref points_sampler.py:349-360)."""
+    pmf = gamma ** np.arange(max_num_points, dtype=np.float64)
+    return pmf / pmf.sum()
+
 
 class BasePointSampler:
+    """Protocol: ``sample_object(sample)`` then ``sample_points()``;
+    ``selected_mask`` exposes the [1, H, W] float target."""
+
     def __init__(self) -> None:
-        self._selected_mask = None
-        self._selected_masks = None
+        self._target: Optional[np.ndarray] = None
 
     def sample_object(self, sample: DSample):
         raise NotImplementedError
@@ -35,15 +191,24 @@ class BasePointSampler:
 
     @property
     def selected_mask(self) -> np.ndarray:
-        assert self._selected_mask is not None
-        return self._selected_mask
+        assert self._target is not None
+        return self._target
 
     @selected_mask.setter
     def selected_mask(self, mask: np.ndarray) -> None:
-        self._selected_mask = mask[np.newaxis, :].astype(np.float32)
+        self._target = mask[np.newaxis].astype(np.float32)
 
 
 class MultiPointSampler(BasePointSampler):
+    """Synthesizes realistic positive/negative training clicks.
+
+    Same configuration surface and output distribution as the reference
+    sampler (core/data/points_sampler.py:35-346): positive clicks land on the
+    (usually eroded) object, negatives on background / other objects / a
+    border band, with geometric-decay counts and optional multi-object
+    merging, mask-hierarchy descent, and an EDT-centred first click.
+    """
+
     def __init__(
         self,
         max_num_points: int,
@@ -75,269 +240,191 @@ class MultiPointSampler(BasePointSampler):
         self.only_one_first_click = only_one_first_click
         self.sfc_inner_k = sfc_inner_k
         self.sfc_full_inner_prob = sfc_full_inner_prob
+        self.max_num_merged_objects = (
+            max_num_points if max_num_merged_objects == -1 else max_num_merged_objects
+        )
 
-        if max_num_merged_objects == -1:
-            max_num_merged_objects = max_num_points
-        self.max_num_merged_objects = max_num_merged_objects
+        self._neg_weights = {
+            "bg": negative_bg_prob,
+            "other": negative_other_prob,
+            "border": negative_border_prob,
+        }
+        assert math.isclose(sum(self._neg_weights.values()), 1.0)
 
-        self.neg_strategies = ["bg", "other", "border"]
-        self.neg_strategies_prob = [
-            negative_bg_prob, negative_other_prob, negative_border_prob,
-        ]
-        assert math.isclose(sum(self.neg_strategies_prob), 1.0)
+        # count pmfs: positives draw 1 + Geom; negatives draw Geom (may be 0)
+        self._pos_pmf = generate_probs(max_num_points, gamma=prob_gamma)
+        self._neg_pmf = generate_probs(max_num_points + 1, gamma=prob_gamma)
+        self._plan: Optional[_ClickPlan] = None
 
-        self._pos_probs = generate_probs(max_num_points, gamma=prob_gamma)
-        self._neg_probs = generate_probs(max_num_points + 1, gamma=prob_gamma)
-        self._neg_masks = None
-
-    # -- object selection --------------------------------------------------
+    # -- planning ----------------------------------------------------------
 
     def sample_object(self, sample: DSample) -> None:
+        self._plan = self._plan_clicks(sample)
+        self.selected_mask = self._plan.target
+
+    def _plan_clicks(self, sample: DSample) -> _ClickPlan:
         if len(sample) == 0:
-            bg_mask = sample.get_background_mask()
-            self.selected_mask = np.zeros_like(bg_mask, dtype=np.float32)
-            self._selected_masks = [[]]
-            self._neg_masks = {s: bg_mask for s in self.neg_strategies}
-            self._neg_masks["required"] = []
-            return
-
-        gt_mask, pos_masks, neg_masks = self._sample_mask(sample)
-        binary_gt_mask = gt_mask > 0.5 if self.soft_targets else gt_mask > 0
-
-        self.selected_mask = gt_mask
-        self._selected_masks = pos_masks
-
-        neg_mask_bg = np.logical_not(binary_gt_mask)
-        neg_mask_border = self._get_border_mask(binary_gt_mask)
-        if len(sample) <= len(self._selected_masks):
-            neg_mask_other = neg_mask_bg
-        else:
-            neg_mask_other = np.logical_and(
-                np.logical_not(sample.get_background_mask()),
-                np.logical_not(binary_gt_mask),
+            bg = sample.get_background_mask()
+            return _ClickPlan(
+                target=np.zeros_like(bg, dtype=np.float32),
+                background=_MixtureRegion(
+                    [(bg, w) for w in self._neg_weights.values()]
+                ),
             )
 
-        self._neg_masks = {
-            "bg": neg_mask_bg,
-            "other": neg_mask_other,
-            "border": neg_mask_border,
-            "required": neg_masks,
+        target, pos_masks, req_neg_masks = self._choose_objects(sample)
+        hard_target = target > (0.5 if self.soft_targets else 0)
+
+        outside = np.logical_not(hard_target)
+        if len(sample) <= len(pos_masks):
+            other_objects = outside
+        else:
+            other_objects = np.logical_and(
+                np.logical_not(sample.get_background_mask()), outside
+            )
+        band_r = int(np.ceil(self.expand_ratio * np.sqrt(hard_target.sum())))
+        strategies = {
+            "bg": outside,
+            "other": other_objects,
+            "border": _ring(hard_target, band_r),
         }
 
-    def _sample_mask(self, sample: DSample):
-        root_obj_ids = sample.root_objects
-
-        if len(root_obj_ids) > 1 and random.random() < self.merge_objects_prob:
-            max_selected = min(len(root_obj_ids), self.max_num_merged_objects)
-            num_selected = np.random.randint(2, max_selected + 1)
-            random_ids = random.sample(root_obj_ids, num_selected)
-        else:
-            random_ids = [random.choice(root_obj_ids)]
-
-        gt_mask = None
-        pos_segments, neg_segments = [], []
-        for obj_id in random_ids:
-            obj_gt, obj_pos, obj_neg = self._sample_from_masks_layer(obj_id, sample)
-            gt_mask = obj_gt if gt_mask is None else np.maximum(gt_mask, obj_gt)
-            pos_segments.extend(obj_pos)
-            neg_segments.extend(obj_neg)
-
-        pos_masks = [self._positive_erode(x) for x in pos_segments]
-        neg_masks = [self._positive_erode(x) for x in neg_segments]
-        return gt_mask, pos_masks, neg_masks
-
-    def _sample_from_masks_layer(self, obj_id, sample: DSample):
-        objs_tree = sample._objects
-
-        if not self.use_hierarchy:
-            node_mask = sample.get_object_mask(obj_id)
-            gt_mask = (
-                sample.get_soft_object_mask(obj_id) if self.soft_targets else node_mask
-            )
-            return gt_mask, [node_mask], []
-
-        def _select_node(node_id):
-            node_info = objs_tree[node_id]
-            if not node_info["children"] or random.random() < 0.5:
-                return node_id
-            return _select_node(random.choice(node_info["children"]))
-
-        selected_node = _select_node(obj_id)
-        node_info = objs_tree[selected_node]
-        node_mask = sample.get_object_mask(selected_node)
-        gt_mask = (
-            sample.get_soft_object_mask(selected_node)
-            if self.soft_targets else node_mask
+        centre = dict(
+            centre_k=self.sfc_inner_k, centre_full_prob=self.sfc_full_inner_prob
         )
-        pos_mask = node_mask.copy()
+        return _ClickPlan(
+            target=target.astype(np.float32),
+            positives=[_UniformRegion(m, **centre) for m in pos_masks],
+            required_negatives=[_UniformRegion(m) for m in req_neg_masks],
+            background=_MixtureRegion(
+                [(strategies[k], w) for k, w in self._neg_weights.items()]
+            ),
+        )
 
-        negative_segments = []
-        if node_info["parent"] is not None and node_info["parent"] in objs_tree:
-            parent_mask = sample.get_object_mask(node_info["parent"])
-            negative_segments.append(
-                np.logical_and(parent_mask, np.logical_not(node_mask))
+    def _choose_objects(self, sample: DSample):
+        """Pick one root object (or a random merged subset), returning the
+        float target plus raw positive / required-negative segment masks."""
+        roots = sample.root_objects
+        if len(roots) > 1 and random.random() < self.merge_objects_prob:
+            n = np.random.randint(2, min(len(roots), self.max_num_merged_objects) + 1)
+            chosen = random.sample(roots, n)
+        else:
+            chosen = [random.choice(roots)]
+
+        target: Optional[np.ndarray] = None
+        pos_segments: List[np.ndarray] = []
+        neg_segments: List[np.ndarray] = []
+        for obj_id in chosen:
+            obj_target, obj_pos, obj_neg = self._object_segments(sample, obj_id)
+            target = obj_target if target is None else np.maximum(target, obj_target)
+            pos_segments += obj_pos
+            neg_segments += obj_neg
+
+        erode = self._maybe_erode
+        return target, [erode(m) for m in pos_segments], [erode(m) for m in neg_segments]
+
+    def _object_segments(self, sample: DSample, obj_id):
+        """Target/positive/required-negative masks for one object, optionally
+        descending its mask hierarchy (ref points_sampler.py:148-205)."""
+        if not self.use_hierarchy:
+            mask = sample.get_object_mask(obj_id)
+            target = sample.get_soft_object_mask(obj_id) if self.soft_targets else mask
+            return target, [mask], []
+
+        tree = sample.nodes
+        # random walk down the hierarchy: at each node with children, stop
+        # with probability 1/2, otherwise recurse into a random child
+        node = obj_id
+        while tree[node].children and random.random() >= 0.5:
+            node = random.choice(tree[node].children)
+
+        info = tree[node]
+        mask = sample.get_object_mask(node)
+        target = sample.get_soft_object_mask(node) if self.soft_targets else mask
+        clickable = mask.copy()
+        negatives: List[np.ndarray] = []
+
+        parent = info.parent
+        if parent is not None and parent in tree:
+            parent_only = np.logical_and(
+                sample.get_object_mask(parent), np.logical_not(mask)
             )
+            negatives.append(parent_only)
 
-        for child_id in node_info["children"]:
-            if objs_tree[child_id]["area"] / node_info["area"] < 0.10:
-                child_mask = sample.get_object_mask(child_id)
-                pos_mask = np.logical_and(pos_mask, np.logical_not(child_mask))
+        children = info.children
+        # tiny children (<10% of the node) never host positive clicks
+        for child in children:
+            if tree[child].area / info.area < 0.10:
+                clickable = np.logical_and(
+                    clickable, np.logical_not(sample.get_object_mask(child))
+                )
 
-        if node_info["children"]:
-            max_disabled = min(len(node_info["children"]), 3)
-            num_disabled = np.random.randint(0, max_disabled + 1)
-            for child_id in random.sample(node_info["children"], num_disabled):
-                child_mask = sample.get_object_mask(child_id)
-                pos_mask = np.logical_and(pos_mask, np.logical_not(child_mask))
+        # randomly carve out up to 3 children entirely (target + clicks)
+        if children:
+            k = np.random.randint(0, min(len(children), 3) + 1)
+            for child in random.sample(children, k):
+                child_mask = sample.get_object_mask(child)
+                clickable = np.logical_and(clickable, np.logical_not(child_mask))
                 if self.soft_targets:
-                    gt_mask = np.minimum(
-                        gt_mask, 1.0 - sample.get_soft_object_mask(child_id)
+                    target = np.minimum(
+                        target, 1.0 - sample.get_soft_object_mask(child)
                     )
                 else:
-                    gt_mask = np.logical_and(gt_mask, np.logical_not(child_mask))
-                negative_segments.append(child_mask)
+                    target = np.logical_and(target, np.logical_not(child_mask))
+                negatives.append(child_mask)
 
-        return gt_mask, [pos_mask], negative_segments
+        return target, [clickable], negatives
 
-    # -- point synthesis ---------------------------------------------------
-
-    def sample_points(self) -> List:
-        assert self._selected_mask is not None
-        pos_points = self._multi_mask_sample_points(
-            self._selected_masks,
-            is_negative=[False] * len(self._selected_masks),
-            with_first_click=self.first_click_center,
-        )
-        neg_strategy = [
-            (self._neg_masks[k], prob)
-            for k, prob in zip(self.neg_strategies, self.neg_strategies_prob)
-        ]
-        neg_masks = self._neg_masks["required"] + [neg_strategy]
-        neg_points = self._multi_mask_sample_points(
-            neg_masks,
-            is_negative=[False] * len(self._neg_masks["required"]) + [True],
-        )
-        return pos_points + neg_points
-
-    def _multi_mask_sample_points(self, selected_masks, is_negative,
-                                  with_first_click=False):
-        selected_masks = selected_masks[: self.max_num_points]
-        each_obj_points = [
-            self._sample_points(mask, is_negative=is_negative[i],
-                                with_first_click=with_first_click)
-            for i, mask in enumerate(selected_masks)
-        ]
-        each_obj_points = [x for x in each_obj_points if len(x) > 0]
-
-        points = []
-        if len(each_obj_points) == 1:
-            points = each_obj_points[0]
-        elif len(each_obj_points) > 1:
-            if self.only_one_first_click:
-                each_obj_points = each_obj_points[:1]
-            points = [obj_points[0] for obj_points in each_obj_points]
-
-            aggregated = []
-            for x in selected_masks:
-                if isinstance(x, (list, tuple)) and x and isinstance(x[0], (list, tuple)):
-                    for t, prob in x:
-                        aggregated.append((t, prob / len(selected_masks)))
-                else:
-                    aggregated.append((x, 1.0 / len(selected_masks)))
-
-            other_points = self._sample_points(aggregated, is_negative=True)
-            if len(other_points) + len(points) <= self.max_num_points:
-                points.extend(other_points)
-            else:
-                points.extend(
-                    random.sample(other_points, self.max_num_points - len(points))
-                )
-
-        if len(points) < self.max_num_points:
-            points.extend([(-1, -1, -1)] * (self.max_num_points - len(points)))
-        return points
-
-    def _sample_points(self, mask, is_negative=False, with_first_click=False):
-        if is_negative:
-            num_points = np.random.choice(
-                np.arange(self.max_num_points + 1), p=self._neg_probs
-            )
-        else:
-            num_points = 1 + np.random.choice(
-                np.arange(self.max_num_points), p=self._pos_probs
-            )
-
-        indices_probs = None
-        if isinstance(mask, (list, tuple)):
-            indices_probs = [x[1] for x in mask]
-            indices = [(np.argwhere(x), prob) for x, prob in mask]
-            if indices_probs:
-                assert math.isclose(sum(indices_probs), 1.0)
-        else:
-            indices = np.argwhere(mask)
-
-        points = []
-        for j in range(num_points):
-            first_click = with_first_click and j == 0 and indices_probs is None
-            if first_click:
-                point_indices = get_point_candidates(
-                    mask, k=self.sfc_inner_k, full_prob=self.sfc_full_inner_prob
-                )
-            elif indices_probs:
-                idx = np.random.choice(np.arange(len(indices)), p=indices_probs)
-                point_indices = indices[idx][0]
-            else:
-                point_indices = indices
-
-            num_indices = len(point_indices)
-            if num_indices > 0:
-                # index 0 marks the centered first click, 100 any other
-                point_indx = 0 if first_click else 100
-                click = point_indices[np.random.randint(0, num_indices)].tolist() + [
-                    point_indx
-                ]
-                points.append(click)
-        return points
-
-    def _positive_erode(self, mask: np.ndarray) -> np.ndarray:
+    def _maybe_erode(self, mask: np.ndarray) -> np.ndarray:
         if random.random() > self.positive_erode_prob:
             return mask
-        kernel = np.ones((3, 3), np.uint8)
-        eroded = cv2.erode(
-            mask.astype(np.uint8), kernel, iterations=self.positive_erode_iters
-        ).astype(bool)
-        return eroded if eroded.sum() > 10 else mask
+        core = _shrink(mask, self.positive_erode_iters)
+        # refuse to erode away nearly the whole object
+        return core if core.sum() > 10 else mask
 
-    def _get_border_mask(self, mask: np.ndarray) -> np.ndarray:
-        expand_r = int(np.ceil(self.expand_ratio * np.sqrt(mask.sum())))
-        kernel = np.ones((3, 3), np.uint8)
-        expanded = cv2.dilate(mask.astype(np.uint8), kernel, iterations=expand_r)
-        expanded[mask.astype(bool)] = 0
-        return expanded
+    # -- rendering -----------------------------------------------------------
 
+    def sample_points(self) -> List[Point]:
+        assert self._plan is not None, "sample_object() must run first"
+        plan = self._plan
+        positives = self._render_group(
+            plan.positives,
+            count_for=lambda _r: self._draw_count(negative=False),
+            centred_first=self.first_click_center,
+        )
+        neg_regions: List[_Region] = list(plan.required_negatives)
+        if plan.background is not None:
+            neg_regions.append(plan.background)
+        negatives = self._render_group(
+            neg_regions,
+            # required hierarchy negatives always get >=1 click; the
+            # background mixture may get zero
+            count_for=lambda r: self._draw_count(
+                negative=isinstance(r, _MixtureRegion)
+            ),
+        )
+        return positives + negatives
 
-@lru_cache(maxsize=None)
-def generate_probs(max_num_points: int, gamma: float) -> np.ndarray:
-    """Geometric-decay click-count distribution
-    (reference: points_sampler.py:349-360)."""
-    probs = np.array([gamma**i for i in range(max_num_points)], dtype=np.float64)
-    return probs / probs.sum()
+    def _draw_count(self, negative: bool) -> int:
+        pmf = self._neg_pmf if negative else self._pos_pmf
+        n = int(np.random.choice(len(pmf), p=pmf))
+        return n if negative else n + 1
 
+    def _render_group(self, regions, count_for, centred_first=False) -> List[Point]:
+        regions = regions[: self.max_num_points]
+        draws = [r.draw(count_for(r), centred_first) for r in regions]
+        draws = [d for d in draws if d]
 
-def get_point_candidates(obj_mask: np.ndarray, k: float = 1.7,
-                         full_prob: float = 0.0) -> np.ndarray:
-    """Center-biased first-click candidates via the EDT inner region
-    (reference: points_sampler.py:363-380)."""
-    if full_prob > 0 and random.random() < full_prob:
-        return obj_mask
+        if len(draws) <= 1:
+            points = draws[0] if draws else []
+        else:
+            if self.only_one_first_click:
+                draws = draws[:1]
+            # several objects: keep each object's first (possibly centred)
+            # click, then top up from the equal-weight union of all regions
+            points = [d[0] for d in draws]
+            extra = _union_mixture(regions).draw(self._draw_count(negative=True))
+            room = self.max_num_points - len(points)
+            points += extra if len(extra) <= room else random.sample(extra, room)
 
-    padded = np.pad(obj_mask, 1)
-    d2 = edt_l2sq(padded.astype(np.uint8))[1:-1, 1:-1]
-    if k > 0:
-        # squared distances: dt > dt.max()/k  <=>  d2 > d2.max()/k²
-        inner = d2 > d2.max() / (k * k)
-        return np.argwhere(inner)
-    prob_map = np.sqrt(d2).flatten()
-    prob_map /= max(prob_map.sum(), 1e-6)
-    click_indx = np.random.choice(len(prob_map), p=prob_map)
-    return np.array([np.unravel_index(click_indx, d2.shape)])
+        return points + [_PAD] * (self.max_num_points - len(points))

@@ -1,14 +1,46 @@
-"""DSample: one image with layered instance masks and an object hierarchy
-(reference: core/data/data_sample.py:13-218)."""
+"""DSample: one image plus layered instance masks and an object hierarchy.
+
+Behavior spec: reference core/data/data_sample.py:13-218.  Restructured around
+an ``ObjNode`` dataclass per object (the reference keeps nested dicts): each
+node records which (layer, label) pair in the encoded mask stack it owns, its
+place in the parent/child hierarchy, and its current pixel area.  Areas are
+refreshed lazily from the mask layers; labels present in a layer but claimed
+by no node (an augmentation can occlude an object entirely) are scrubbed to
+background during the refresh.
+
+Construction accepts either flat ``objects_ids`` (one mask layer) or a nested
+``objects`` dict with parent/children/mapping keys — the loader-facing
+protocol shared with the reference datasets — normalizing both into nodes.
+"""
 
 from __future__ import annotations
 
 from copy import deepcopy
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from isegprobe_tpu.utils.misc import get_labels_with_sizes
+
+Mapping = Tuple[int, int]  # (mask-stack layer index, integer label in layer)
+
+
+@dataclass
+class ObjNode:
+    mapping: Mapping
+    parent: Optional[int] = None
+    children: List[int] = field(default_factory=list)
+    area: Optional[int] = None
+
+    @classmethod
+    def from_dict(cls, info: Dict) -> "ObjNode":
+        return cls(
+            mapping=tuple(info["mapping"]),
+            parent=info.get("parent"),
+            children=list(info.get("children", [])),
+            area=info.get("area"),
+        )
 
 
 class DSample:
@@ -17,140 +49,133 @@ class DSample:
         image: np.ndarray,
         encoded_masks: np.ndarray,
         objects: Optional[Dict] = None,
-        objects_ids: Optional[List[int]] = None,
-        ignore_ids: Optional[List[int]] = None,
+        objects_ids: Optional[List] = None,
+        ignore_ids: Optional[List] = None,
         sample_id: Optional[int] = None,
     ) -> None:
         self.image = image
         self.sample_id = sample_id
+        self.points = None
 
-        if len(encoded_masks.shape) == 2:
+        if encoded_masks.ndim == 2:
             encoded_masks = encoded_masks[:, :, np.newaxis]
         self._encoded_masks = encoded_masks
-        self._ignored_regions = []
 
+        self.nodes: Dict[int, ObjNode] = {}
+        self._ignored: List[Mapping] = []
         if objects_ids is not None:
-            if not objects_ids or not isinstance(objects_ids[0], tuple):
+            if objects_ids and not isinstance(objects_ids[0], tuple):
                 assert encoded_masks.shape[2] == 1
-                objects_ids = [(0, obj_id) for obj_id in objects_ids]
-
-            self._objects = {}
-            for indx, obj_mapping in enumerate(objects_ids):
-                self._objects[indx] = {"parent": None, "mapping": obj_mapping,
-                                       "children": []}
-
-            if ignore_ids:
-                if isinstance(ignore_ids[0], tuple):
-                    self._ignored_regions = list(ignore_ids)
-                else:
-                    self._ignored_regions = [(0, region_id) for region_id in ignore_ids]
-        else:
-            self._objects = deepcopy(objects) if objects is not None else {}
+                objects_ids = [(0, label) for label in objects_ids]
+            self.nodes = {
+                i: ObjNode(mapping=m) for i, m in enumerate(objects_ids)
+            }
+            for region in ignore_ids or []:
+                self._ignored.append(
+                    region if isinstance(region, tuple) else (0, region)
+                )
+        elif objects is not None:
+            self.nodes = {k: ObjNode.from_dict(v) for k, v in objects.items()}
 
         self._augmented = False
-        self._soft_mask_aug = None
-        self.points = None
-        self._original_data = (self.image, self._encoded_masks,
-                               deepcopy(self._objects))
+        self._pristine = (image, encoded_masks, deepcopy(self.nodes))
         self.remove_small_objects(min_area=1)
 
+    # -- augmentation ---------------------------------------------------------
+
     def augment(self, augmentator) -> None:
-        """Apply an augmentation pipeline jointly to image and layered masks
-        (reference: data_sample.py:60-84; replay/soft-mask path unsupported)."""
+        """Apply a joint image+mask pipeline.  Always restarts from the
+        pristine data first, so repeated augmentation never compounds."""
         self.reset_augmentation()
-        aug_output = augmentator(image=self.image, mask=self._encoded_masks)
-        self.image = aug_output["image"]
-        self._encoded_masks = aug_output["mask"]
-        self._compute_objects_areas()
+        out = augmentator(image=self.image, mask=self._encoded_masks)
+        self.image = out["image"]
+        self._encoded_masks = out["mask"]
+        self._refresh_areas()
         self.remove_small_objects(min_area=1)
         self._augmented = True
 
     def reset_augmentation(self) -> None:
-        if not self._augmented:
-            return
-        orig_image, orig_masks, orig_objects = self._original_data
-        self.image = orig_image
-        self._encoded_masks = orig_masks
-        self._objects = deepcopy(orig_objects)
-        self._augmented = False
-        self._soft_mask_aug = None
+        if self._augmented:
+            self.image, self._encoded_masks, nodes = self._pristine
+            self.nodes = deepcopy(nodes)
+            self._augmented = False
 
-    @property
-    def objects_ids(self) -> List[int]:
-        return list(self._objects.keys())
+    # -- mask views -------------------------------------------------------------
 
-    def get_object_mask(self, obj_id) -> np.ndarray:
-        layer_indx, mask_id = self._objects[obj_id]["mapping"]
-        obj_mask = (self._encoded_masks[:, :, layer_indx] == mask_id).astype(np.int32)
-        if self._ignored_regions:
-            for layer_indx_i, mask_id_i in self._ignored_regions:
-                ignore_mask = self._encoded_masks[:, :, layer_indx_i] == mask_id_i
-                obj_mask[ignore_mask] = -1
-        return obj_mask
+    def get_object_mask(self, obj_id: int) -> np.ndarray:
+        layer, label = self.nodes[obj_id].mapping
+        mask = (self._encoded_masks[:, :, layer] == label).astype(np.int32)
+        for ig_layer, ig_label in self._ignored:
+            mask[self._encoded_masks[:, :, ig_layer] == ig_label] = -1
+        return mask
 
-    def gt_mask(self, obj_id) -> np.ndarray:
-        return self.get_object_mask(obj_id)
-
-    @property
-    def gt_masks(self):
-        return [self.get_object_mask(i) for i in self.objects_ids]
-
-    def get_soft_object_mask(self, obj_id) -> np.ndarray:
-        # soft masks only exist under augmentation replay; hard mask otherwise
+    def get_soft_object_mask(self, obj_id: int) -> np.ndarray:
+        # soft masks only exist under augmentation replay; hard otherwise
         return self.get_object_mask(obj_id).astype(np.float32)
 
     def get_background_mask(self) -> np.ndarray:
-        return np.max(self._encoded_masks, axis=2) == 0
+        return self._encoded_masks.max(axis=2) == 0
+
+    def gt_mask(self, obj_id: int) -> np.ndarray:
+        return self.get_object_mask(obj_id)
 
     @property
-    def root_objects(self):
-        return [obj_id for obj_id, obj in self._objects.items()
-                if obj["parent"] is None]
+    def gt_masks(self) -> List[np.ndarray]:
+        return [self.get_object_mask(i) for i in self.nodes]
 
-    def remove_small_objects(self, min_area: int) -> None:
-        if self._objects and "area" not in list(self._objects.values())[0]:
-            self._compute_objects_areas()
-        for obj_id, obj_info in list(self._objects.items()):
-            if obj_info["area"] < min_area:
-                self._remove_object(obj_id)
+    # -- hierarchy ----------------------------------------------------------------
 
-    def _compute_objects_areas(self) -> None:
-        inverse_index = {
-            obj["mapping"]: obj_id for obj_id, obj in self._objects.items()
-        }
-        ignored_regions_keys = set(self._ignored_regions)
+    @property
+    def objects_ids(self) -> List[int]:
+        return list(self.nodes)
 
-        for layer_indx in range(self._encoded_masks.shape[2]):
-            objects_ids, objects_areas = get_labels_with_sizes(
-                self._encoded_masks[:, :, layer_indx]
-            )
-            for obj_id, obj_area in zip(objects_ids, objects_areas):
-                inv_key = (layer_indx, obj_id)
-                if inv_key in ignored_regions_keys:
-                    continue
-                try:
-                    self._objects[inverse_index[inv_key]]["area"] = obj_area
-                    del inverse_index[inv_key]
-                except KeyError:
-                    # layered masks can occlude objects entirely
-                    layer = self._encoded_masks[:, :, layer_indx]
-                    layer[layer == obj_id] = 0
-
-        for obj_id in inverse_index.values():
-            self._objects[obj_id]["area"] = 0
-
-    def _remove_object(self, obj_id) -> None:
-        obj_info = self._objects[obj_id]
-        obj_parent = obj_info["parent"]
-        for child_id in obj_info["children"]:
-            self._objects[child_id]["parent"] = obj_parent
-        if obj_parent is not None:
-            parent_children = self._objects[obj_parent]["children"]
-            parent_children = [x for x in parent_children if x != obj_id]
-            self._objects[obj_parent]["children"] = parent_children + obj_info[
-                "children"
-            ]
-        del self._objects[obj_id]
+    @property
+    def root_objects(self) -> List[int]:
+        return [i for i, node in self.nodes.items() if node.parent is None]
 
     def __len__(self) -> int:
-        return len(self._objects)
+        return len(self.nodes)
+
+    def remove_small_objects(self, min_area: float) -> None:
+        if any(node.area is None for node in self.nodes.values()):
+            self._refresh_areas()
+        for obj_id in [i for i, n in self.nodes.items() if n.area < min_area]:
+            self._unlink(obj_id)
+
+    def _unlink(self, obj_id: int) -> None:
+        """Drop a node, splicing its children onto its parent."""
+        node = self.nodes.pop(obj_id)
+        for child in node.children:
+            self.nodes[child].parent = node.parent
+        if node.parent is not None:
+            siblings = self.nodes[node.parent].children
+            self.nodes[node.parent].children = [
+                c for c in siblings if c != obj_id
+            ] + node.children
+
+    def _refresh_areas(self) -> None:
+        """Recount every node's pixels from the mask layers.
+
+        A label owned by no node and not ignored is an orphan (e.g. an object
+        fully occluded after augmentation re-layering) and is scrubbed from
+        its layer; a node whose label vanished gets area 0.
+        """
+        by_mapping = {node.mapping: node for node in self.nodes.values()}
+        ignored = set(self._ignored)
+        seen = set()
+        for layer_idx in range(self._encoded_masks.shape[2]):
+            layer = self._encoded_masks[:, :, layer_idx]
+            labels, areas = get_labels_with_sizes(layer)
+            for label, area in zip(labels, areas):
+                key = (layer_idx, label)
+                if key in ignored:
+                    continue
+                node = by_mapping.get(key)
+                if node is None:
+                    layer[layer == label] = 0
+                else:
+                    node.area = area
+                    seen.add(key)
+        for key, node in by_mapping.items():
+            if key not in seen:
+                node.area = 0

@@ -54,6 +54,13 @@ def get_dataset(dataset_name: str, main_cfg):
         return PascalVocDataset(paths.PASCALVOC_PATH, split="test")
     if dataset_name == "COCO_MVal":
         return DavisDataset(paths.COCO_MVAL_PATH)
+    if dataset_name.startswith("Synthetic"):
+        # "Synthetic" or "Synthetic:<n_samples>" — procedural scenes, no files
+        from isegprobe_tpu.data.datasets import SyntheticShapesDataset
+
+        n = int(dataset_name.split(":")[1]) if ":" in dataset_name else 50
+        return SyntheticShapesDataset(n_samples=n, seed=2026,
+                                      min_instance_area=1400)
     raise NotImplementedError(f"Dataset key: {dataset_name} is not found.")
 
 
@@ -194,9 +201,11 @@ def main() -> None:
 
                 jax.profiler.start_trace(profile_dir)
             latencies: list = []
+            sample_times: list = []
             if eval_cfg.get("device_loop", False) and eval_cfg.mode == "NoBRS":
                 # fast path: the whole ≤n_clicks protocol as one compiled
-                # program per sample (protocol parity: tests/test_device_eval.py)
+                # program per sample — or per BATCH of same-size samples
+                # (protocol parity: tests/test_device_eval.py)
                 from time import time as _time
 
                 from isegprobe_tpu.inference.device_eval import (
@@ -204,19 +213,20 @@ def main() -> None:
                     make_device_evaluator,
                 )
 
+                device_batch = int(eval_cfg.get("device_batch", 1))
                 run = make_device_evaluator(
                     model, target_size=zoomin_params["target_size"],
                     max_clicks=eval_cfg.n_clicks,
                     net_clicks_limit=eval_cfg.clicks_limit or eval_cfg.n_clicks,
                     pred_thr=eval_cfg.thresh, target_iou=eval_cfg.target_iou,
-                    with_flip=True,
+                    with_flip=True, batch_size=device_batch,
                 )
                 t0 = _time()
-                all_ious = evaluate_dataset_device(run, params, dataset)
+                all_ious = evaluate_dataset_device(
+                    run, params, dataset, batch_size=device_batch,
+                    sample_times=sample_times,
+                )
                 elapsed = _time() - t0
-                n_clicks_total = sum(len(a) for a in all_ious)
-                latencies.extend([elapsed / max(1, n_clicks_total)]
-                                 * n_clicks_total)
             else:
                 all_ious, elapsed = evaluate_dataset(
                     dataset,
@@ -250,13 +260,24 @@ def main() -> None:
                 print_header=print_header,
             )
             print(table)
+            miou = miou_at_k(all_ious, eval_cfg.n_clicks)
             if eval_cfg.print_ious:
-                miou = miou_at_k(all_ious, eval_cfg.n_clicks)
                 print("mIoU@k:", " ".join(f"{v:.3f}" for v in miou))
+            from isegprobe_tpu.inference.eval_utils import log_eval_to_wandb
+
+            log_eval_to_wandb(eval_cfg, dataset_name, model_name, noc,
+                              over_max, list(map(float, miou)), spc, elapsed)
             if latencies:
                 from isegprobe_tpu.inference.evaluation import latency_percentiles
 
                 print("per-click latency:", latency_percentiles(latencies))
+            if sample_times:
+                from isegprobe_tpu.inference.evaluation import latency_percentiles
+
+                n_clicks_total = sum(len(a) for a in all_ious)
+                print("per-sample wall:", latency_percentiles(sample_times))
+                print(f"throughput: {n_clicks_total / elapsed:.1f} clicks/s "
+                      f"({len(all_ious) / elapsed:.2f} samples/s)")
             with open(logs_path / "results.txt", "a") as f:
                 f.write(table + "\n")
             print_header = False

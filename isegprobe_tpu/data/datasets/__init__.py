@@ -7,6 +7,7 @@ from isegprobe_tpu.data.datasets.extended import (
     LvisDataset,
     OpenImagesDataset,
 )
+from isegprobe_tpu.data.datasets.synthetic import SyntheticShapesDataset
 from isegprobe_tpu.data.datasets.standard import (
     BerkeleyDataset,
     DavisDataset,
@@ -28,4 +29,5 @@ __all__ = [
     "PascalVocDataset",
     "SBDDataset",
     "SBDEvaluationDataset",
+    "SyntheticShapesDataset",
 ]

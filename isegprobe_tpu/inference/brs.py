@@ -382,7 +382,14 @@ def get_predictor(
     brs_opt_func_params: Optional[Dict] = None,
     lbfgs_params: Optional[Dict] = None,
 ):
-    """Predictor factory (reference: core/inference/predictors/__init__.py:15-119)."""
+    """Predictor factory (reference: core/inference/predictors/__init__.py:15-119).
+
+    ``model`` may be a tuple ``(base_model, click_models)`` to request a
+    click-wise ensemble (reference: base_predictor.py:38-44) — NoBRS only."""
+    click_models = None
+    if isinstance(model, tuple):
+        model, click_models = model
+        assert brs_mode == "NoBRS", "click-model ensembles require NoBRS"
     lbfgs_params_ = {"m": 20, "factr": 0, "pgtol": 1e-8, "maxfun": 20}
     if lbfgs_params is not None:
         lbfgs_params_.update(lbfgs_params)
@@ -402,7 +409,8 @@ def get_predictor(
 
     if brs_mode == "NoBRS":
         predictor_params_.pop("optimize_after_n_clicks", None)
-        return TPUPredictor(model, params, with_flip=with_flip, **zoom_kwargs,
+        return TPUPredictor(model, params, with_flip=with_flip,
+                            click_models=click_models, **zoom_kwargs,
                             **predictor_params_)
 
     if brs_mode.startswith("f-BRS"):

@@ -16,8 +16,7 @@ and test_device_eval.py's trajectory-parity test vs the host path).
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,9 +83,17 @@ def make_device_evaluator(
     expansion_ratio: float = 1.4,
     min_crop_size: int = 200,
     recompute_thresh_iou: float = 0.5,
+    batch_size: int = 1,
 ):
     """Build a jitted ``run(params, image_pad, gt_pad, valid_hw)`` evaluating
-    one sample entirely on device. Returns (ious [max_clicks], n_clicks)."""
+    one sample entirely on device. Returns (ious [max_clicks], n_clicks).
+
+    ``batch_size > 1`` vmaps the whole click protocol over a leading sample
+    axis: the while_loop batching rule masks finished lanes automatically, and
+    every per-click forward becomes one batch-(2·)B compiled program — small
+    448² ViT matmuls batched up onto the MXU instead of dispatched per sample.
+    Shapes then gain a leading B: image [B,hp,wp,3], gt [B,hp,wp],
+    valid_hw [B,2] -> (ious [B,max_clicks], n [B])."""
     oh, ow = target_size
     nmax = net_clicks_limit
     with_prev = getattr(model, "with_prev_mask", False)
@@ -126,8 +133,8 @@ def make_device_evaluator(
             logits = model.apply({"params": params}, crop, pts)["instances"]
         return jax.nn.sigmoid(logits)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def run(params, image_pad, gt_pad, valid_hw):
+    def run_single(params, image_hw3, gt_pad, valid_hw):
+        image_pad = image_hw3[None]
         hp, wp = image_pad.shape[1], image_pad.shape[2]
         h_valid = valid_hw[0].astype(jnp.float32)
         w_valid = valid_hw[1].astype(jnp.float32)
@@ -258,7 +265,22 @@ def make_device_evaluator(
         state = jax.lax.while_loop(cond, body, state)
         return state["ious"], state["n"]
 
-    return run
+    if batch_size == 1:
+        return jax.jit(run_single)
+    return jax.jit(jax.vmap(run_single, in_axes=(None, 0, 0, 0)))
+
+
+def _pad_job(image: np.ndarray, gt_mask: np.ndarray, bucket: int):
+    if image.dtype == np.uint8:
+        image = image.astype(np.float32) / 255.0
+    h, w = image.shape[:2]
+    hp = -(-h // bucket) * bucket
+    wp = -(-w // bucket) * bucket
+    image_pad = np.zeros((hp, wp, 3), np.float32)
+    image_pad[:h, :w] = image
+    gt_pad = np.zeros((hp, wp), np.int32)
+    gt_pad[:h, :w] = gt_mask
+    return image_pad, gt_pad, np.asarray([h, w], np.int32)
 
 
 def submit_sample_device(
@@ -267,22 +289,9 @@ def submit_sample_device(
     """Asynchronously dispatch one sample's full click loop; returns device
     handles (ious_dev, n_dev) that sync lazily — lets the host pipeline the
     next sample's dispatch behind the current one's compute."""
-    if image.dtype == np.uint8:
-        image = image.astype(np.float32) / 255.0
-    h, w = image.shape[:2]
-    hp = -(-h // bucket) * bucket
-    wp = -(-w // bucket) * bucket
-    image_pad = np.zeros((1, hp, wp, 3), np.float32)
-    image_pad[0, :h, :w] = image
-    gt_pad = np.zeros((hp, wp), np.int32)
-    gt_pad[:h, :w] = gt_mask
-
-    return run_fn(
-        params,
-        jnp.asarray(image_pad),
-        jnp.asarray(gt_pad),
-        jnp.asarray([h, w], jnp.int32),
-    )
+    image_pad, gt_pad, valid_hw = _pad_job(image, gt_mask, bucket)
+    return run_fn(params, jnp.asarray(image_pad), jnp.asarray(gt_pad),
+                  jnp.asarray(valid_hw))
 
 
 def collect_sample_device(handles) -> np.ndarray:
@@ -299,22 +308,72 @@ def evaluate_sample_device(
     )
 
 
-def evaluate_dataset_device(run_fn, params, dataset, depth: int = 2):
-    """Pipelined dataset evaluation: keep `depth` samples in flight so the
-    host never stalls on a sync while the device has work queued."""
-    from collections import deque
+def evaluate_dataset_device(run_fn, params, dataset, depth: int = 2,
+                            batch_size: int = 1, bucket: int = 64,
+                            sample_times: Optional[list] = None):
+    """Dataset evaluation through the compiled click loop.
 
-    pending: deque = deque()
-    all_ious = []
+    ``batch_size == 1``: pipelined per-sample dispatch (keep ``depth`` samples
+    in flight).  ``batch_size > 1`` (requires a ``make_device_evaluator``
+    built with the same batch_size): jobs are grouped by padded bucket shape,
+    chunked into batches (last chunk zero-padded and discarded after), and the
+    whole protocol runs per batch in one dispatch.  Results always come back
+    in dataset order.  ``sample_times`` (a list) collects one honest wall-time
+    entry per sample: the wall time of the dispatch group the sample completed
+    in — the real latency a user of the batched evaluator observes.
+    """
+    from collections import deque
+    from time import time as _time
+
+    if batch_size <= 1:
+        pending: deque = deque()
+        all_ious = []
+        t_submit: deque = deque()
+        for index in range(len(dataset)):
+            sample = dataset.get_sample(index)
+            for object_id in sample.objects_ids:
+                pending.append(
+                    submit_sample_device(run_fn, params, sample.image,
+                                         sample.gt_mask(object_id), bucket)
+                )
+                t_submit.append(_time())
+                if len(pending) >= depth:
+                    all_ious.append(collect_sample_device(pending.popleft()))
+                    if sample_times is not None:
+                        sample_times.append(_time() - t_submit.popleft())
+        while pending:
+            all_ious.append(collect_sample_device(pending.popleft()))
+            if sample_times is not None:
+                sample_times.append(_time() - t_submit.popleft())
+        return all_ious
+
+    # ---- batched path: bucket-group -> chunk -> one dispatch per chunk ----
+    jobs = []  # (order_idx, image_pad, gt_pad, valid_hw)
     for index in range(len(dataset)):
         sample = dataset.get_sample(index)
         for object_id in sample.objects_ids:
-            pending.append(
-                submit_sample_device(run_fn, params, sample.image,
-                                     sample.gt_mask(object_id))
-            )
-            if len(pending) >= depth:
-                all_ious.append(collect_sample_device(pending.popleft()))
-    while pending:
-        all_ious.append(collect_sample_device(pending.popleft()))
-    return all_ious
+            jobs.append(_pad_job(sample.image, sample.gt_mask(object_id),
+                                 bucket))
+    by_shape = {}
+    for order_idx, (img, gt, hw) in enumerate(jobs):
+        by_shape.setdefault(img.shape, []).append((order_idx, img, gt, hw))
+
+    results = [None] * len(jobs)
+    for group in by_shape.values():
+        for lo in range(0, len(group), batch_size):
+            chunk = group[lo:lo + batch_size]
+            n_real = len(chunk)
+            while len(chunk) < batch_size:  # zero-pad the tail chunk
+                chunk.append(chunk[-1])
+            imgs = jnp.asarray(np.stack([c[1] for c in chunk]))
+            gts = jnp.asarray(np.stack([c[2] for c in chunk]))
+            hws = jnp.asarray(np.stack([c[3] for c in chunk]))
+            t0 = _time()
+            ious_b, n_b = jax.device_get(run_fn(params, imgs, gts, hws))
+            wall = _time() - t0
+            for lane in range(n_real):
+                order_idx = chunk[lane][0]
+                results[order_idx] = ious_b[lane][: int(n_b[lane])]
+                if sample_times is not None:
+                    sample_times.append(wall)
+    return results

@@ -137,3 +137,52 @@ def get_checkpoints_list(eval_cfg, exps_path) -> List[str]:
         assert checkpoints, f"No checkpoints under {exp_path}"
         return [str(c) for c in checkpoints]
     return [eval_cfg.checkpoint]
+
+
+def log_eval_to_wandb(eval_cfg, dataset_name: str, model_name: str,
+                      noc: List[float], over_max: List[int],
+                      miou: List[float], spc: float, elapsed: float) -> bool:
+    """Push one dataset x checkpoint eval result to Weights & Biases: the
+    summary dict plus mIoU-vs-clicks and NoC-vs-IoU line plots
+    (reference: evaluate.py:149-205). No-ops (returns False) when the wandb
+    package is absent or logging is disabled."""
+    if not getattr(eval_cfg, "wandb", False):
+        return False
+    try:
+        import wandb
+    except ImportError:
+        return False
+
+    run_name = (getattr(eval_cfg, "wandb_name", None)
+                or f"{model_name}__{dataset_name}__{eval_cfg.mode}")
+    wandb.init(
+        project=getattr(eval_cfg, "wandb_project", "iSegProbe-Eval"),
+        name=run_name,
+        config={**{k: v for k, v in dict(eval_cfg).items()
+                   if isinstance(v, (int, float, bool, str, type(None)))},
+                "dataset": dataset_name, "model": model_name},
+        dir=getattr(eval_cfg, "wandb_dir", None) or None,
+    )
+    summary = {"dataset": dataset_name, "model": model_name,
+               "SPC": spc, "time_s": elapsed}
+    for thr, value, over in zip((80, 85, 90), noc, over_max):
+        summary[f"NoC@{thr}%"] = value
+        summary[f">={eval_cfg.n_clicks}@{thr}%"] = over
+    if miou:
+        summary["IoU@1"] = miou[0]
+    wandb.log(summary)
+
+    miou_table = wandb.Table(columns=["k (Clicks)", "mIoU@k"])
+    for k, v in enumerate(miou, start=1):
+        miou_table.add_data(int(k), float(v))
+    wandb.log({"mIoU_vs_Clicks": wandb.plot.line(
+        miou_table, "k (Clicks)", "mIoU@k", title="mIoU Given k Clicks")})
+
+    noc_table = wandb.Table(columns=["X (IoU, %)", "NoC@X"])
+    for thr, value in zip((80, 85, 90), noc):
+        noc_table.add_data(int(thr), float(value))
+    wandb.log({"NoC_vs_IoU": wandb.plot.line(
+        noc_table, "X (IoU, %)", "NoC@X",
+        title="Number of Clicks to Reach X% IoU")})
+    wandb.finish()
+    return True

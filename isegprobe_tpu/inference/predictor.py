@@ -60,6 +60,7 @@ class TPUPredictor:
         net_clicks_limit: int = 20,
         with_flip: bool = True,
         optimize_after_n_clicks: int = 1,  # parity with predictor_params
+        click_models: Optional[List] = None,
     ) -> None:
         self.model = model
         self.params = params
@@ -81,24 +82,49 @@ class TPUPredictor:
         self._object_roi: Optional[Bbox] = None
         self._roi_version = 0  # bumped when the ROI changes (cache invalidation)
 
-        self._step = jax.jit(self._click_step_fn)
-
-        # late-injection backbone caching (SURVEY.md §7 delta #2): the frozen
-        # trunk depends only on the ROI crop, so it reruns only on ROI change
-        bcfg = getattr(model, "backbone_cfg", None) or {}
-        self.cache_backbone = (
-            (bcfg.get("params") or {}).get("feats_injection_mode")
-            == "after_backbone"
-        )
-        self._trunk_fn = jax.jit(self._trunk_step_fn)
-        self._cached_step = jax.jit(self._cached_click_step_fn)
+        # click-wise model ensemble (reference: base_predictor.py:38-44,72-81):
+        # slot k serves predictions once the click count reaches k+1; the last
+        # slot serves all later clicks. Entries are (model, params) pairs or
+        # bare params pytrees reusing the base model.
+        self._slots: List[Tuple] = [(model, params)]
+        if click_models:
+            self._slots = [
+                cm if isinstance(cm, tuple) else (model, cm)
+                for cm in click_models
+            ]
+        self._compiled: Dict[int, Tuple] = {}
+        self._active_slot = -1
+        self._activate_slot(0)
         self._trunk_cache = None  # (roi_version, trunk arrays)
+
+    def _activate_slot(self, idx: int) -> None:
+        if idx == self._active_slot:
+            return
+        self.model, self.params = self._slots[idx]
+        self.with_prev_mask = getattr(self.model, "with_prev_mask", False)
+        if idx not in self._compiled:
+            model = self.model
+            bcfg = getattr(model, "backbone_cfg", None) or {}
+            cache_backbone = (
+                (bcfg.get("params") or {}).get("feats_injection_mode")
+                == "after_backbone"
+            )
+            self._compiled[idx] = (
+                jax.jit(functools.partial(self._click_step_fn, model)),
+                jax.jit(functools.partial(self._trunk_step_fn, model)),
+                jax.jit(functools.partial(self._cached_click_step_fn, model)),
+                cache_backbone,
+            )
+        (self._step, self._trunk_fn, self._cached_step,
+         self.cache_backbone) = self._compiled[idx]
+        self._active_slot = idx
+        self._trunk_cache = None  # features come from a different net now
 
     # ------------------------------------------------------------------
     # compiled step
     # ------------------------------------------------------------------
 
-    def _click_step_fn(self, params, image_pad, prev_pad, roi, points):
+    def _click_step_fn(self, model, params, image_pad, prev_pad, roi, points):
         """image_pad [1,Hp,Wp,3] f32 in [0,1]; prev_pad [1,Hp,Wp,1];
         roi int32 [4]; points [1, 2N, 3] full-frame coords."""
         oh, ow = self.target_size
@@ -127,10 +153,10 @@ class TPUPredictor:
             pts_f = jnp.stack([pts[..., 0], fx, pts[..., 2]], axis=-1)
             pts_f = jnp.where(valid[..., None], pts_f, -1.0)
             pts2 = jnp.concatenate([pts, pts_f], axis=0)
-            logits = self.model.apply({"params": params}, crop2, pts2)["instances"]
+            logits = model.apply({"params": params}, crop2, pts2)["instances"]
             logits = 0.5 * (logits[:1] + logits[1:, :, ::-1])
         else:
-            logits = self.model.apply({"params": params}, crop, pts)["instances"]
+            logits = model.apply({"params": params}, crop, pts)["instances"]
 
         probs = jax.nn.sigmoid(logits)
         return inverse_paste(probs, roi, prev_pad)
@@ -154,7 +180,7 @@ class TPUPredictor:
         pts = jnp.where(valid[..., None], pts, -1.0)
         return crop, pts, valid
 
-    def _trunk_step_fn(self, params, image_pad, prev_pad, roi):
+    def _trunk_step_fn(self, model, params, image_pad, prev_pad, roi):
         """Backbone trunk on the ROI crop (and its flip), click-independent."""
         oh, ow = self.target_size
         inp = image_pad
@@ -163,11 +189,11 @@ class TPUPredictor:
         crop = crop_resize(inp, roi, (oh, ow))
         if self.with_flip:
             crop = jnp.concatenate([crop, crop[:, :, ::-1]], axis=0)
-        return self.model.apply({"params": params}, crop,
-                                method=self.model.compute_backbone_trunk)
+        return model.apply({"params": params}, crop,
+                           method=model.compute_backbone_trunk)
 
-    def _cached_click_step_fn(self, params, image_pad, prev_pad, roi, points,
-                              trunk):
+    def _cached_click_step_fn(self, model, params, image_pad, prev_pad, roi,
+                              points, trunk):
         oh, ow = self.target_size
         crop, pts, valid = self._crop_and_points(image_pad, prev_pad, roi,
                                                  points)
@@ -177,15 +203,15 @@ class TPUPredictor:
             pts_f = jnp.stack([pts[..., 0], fx, pts[..., 2]], axis=-1)
             pts_f = jnp.where(valid[..., None], pts_f, -1.0)
             pts2 = jnp.concatenate([pts, pts_f], axis=0)
-            logits = self.model.apply(
+            logits = model.apply(
                 {"params": params}, crop2, pts2, trunk,
-                method=self.model.forward_with_cached_trunk,
+                method=model.forward_with_cached_trunk,
             )["instances"]
             logits = 0.5 * (logits[:1] + logits[1:, :, ::-1])
         else:
-            logits = self.model.apply(
+            logits = model.apply(
                 {"params": params}, crop, pts, trunk,
-                method=self.model.forward_with_cached_trunk,
+                method=model.forward_with_cached_trunk,
             )["instances"]
         probs = jax.nn.sigmoid(logits)
         return inverse_paste(probs, roi, prev_pad)
@@ -263,6 +289,13 @@ class TPUPredictor:
 
     def get_prediction(self, clicker: Clicker, prev_mask=None) -> np.ndarray:
         clicks_list = clicker.get_clicks()
+        if len(self._slots) > 1:
+            # click k is served by ensemble member min(k, last)
+            # (reference: base_predictor.py:72-81)
+            offset = getattr(clicker, "click_indx_offset", 0)
+            self._activate_slot(
+                min(offset + len(clicks_list), len(self._slots)) - 1
+            )
         roi = self._compute_roi(clicks_list)
         points = self.get_points_nd(clicks_list)
 

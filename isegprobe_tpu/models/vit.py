@@ -39,6 +39,10 @@ class ViTConfig:
     proj_bias: bool = True
     ffn_bias: bool = True
     layerscale: bool = False  # DINOv2: True
+    # DINOv2 hub builder passes init_values=1e-5; matters only for random
+    # init (converted checkpoints overwrite it) — near-identity blocks keep
+    # the patch/click signal readable by a probe trained on a random backbone
+    layerscale_init: float = 1e-5
     act: str = "gelu"  # 'gelu' (exact) | 'quick_gelu' (CLIP)
     norm_eps: float = 1e-6
     class_token: bool = True
@@ -126,10 +130,13 @@ class Mlp(nn.Module):
 
 class LayerScale(nn.Module):
     dim: int
+    init_value: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (self.dim,)
+        )
         return x * gamma
 
 
@@ -149,13 +156,13 @@ class Block(nn.Module):
         else:
             a, k = attn(h), None
         if c.layerscale:
-            a = LayerScale(c.embed_dim, name="ls1")(a)
+            a = LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(a)
         x = x + a
         h2 = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm2")(x)
         m = Mlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), c.act, c.ffn_bias,
                 c.dtype, name="mlp")(h2)
         if c.layerscale:
-            m = LayerScale(c.embed_dim, name="ls2")(m)
+            m = LayerScale(c.embed_dim, c.layerscale_init, name="ls2")(m)
         x = x + m
         if return_k:
             return x, k

@@ -42,6 +42,7 @@ from isegprobe_tpu.parallel.mesh import (
     replicate,
 )
 from isegprobe_tpu.training.optim import make_optimizer, multistep_lr
+from isegprobe_tpu.utils.viz import draw_points, draw_probmap
 from isegprobe_tpu.utils.serialization import (
     load_checkpoint,
     merge_params,
@@ -362,7 +363,13 @@ class iSegTrainer:
         iou_stats, iou_valid = device_iou_stats(
             outputs["instances"], batch["instances"], iou_thresh, iou_step
         )
-        return new_params, opt_state, loss, logging_out, (iou_stats, iou_valid)
+        # sample-0 vis payload for TB image dumps (ref trainer.py:499-548):
+        # tiny [H,W]+[2N,3] arrays that stay on device unless a dump step
+        # actually fetches them
+        vis = (jax.nn.sigmoid(outputs["instances"][0, ..., 0]),
+               batch["points"][0])
+        return (new_params, opt_state, loss, logging_out,
+                (iou_stats, iou_valid), vis)
 
     # ------------------------------------------------------------------
     # epoch loops
@@ -400,7 +407,8 @@ class iSegTrainer:
 
             thr = (self.train_metrics[0].iou_thresh
                    if self.train_metrics else 0.4)
-            self.params, self.opt_state, loss, logging_out, iou_stats = (
+            (self.params, self.opt_state, loss, logging_out, iou_stats,
+             vis_payload) = (
                 self._train_step(self.params, self.opt_state, batch, step_rng,
                                  num_iters, thr)
             )
@@ -416,6 +424,12 @@ class iSegTrainer:
                     if callable(self.lr_schedule) else self.lr_schedule,
                     global_step,
                 )
+                for m in self.train_metrics:
+                    m.log_states(self.sw, f"Metrics/{m.name}", global_step)
+            if (self.is_master and self.image_dump_interval > 0
+                    and global_step % self.image_dump_interval == 0):
+                self.save_visualization(batch_data, vis_payload, global_step,
+                                        prefix="train")
             for m in self.train_metrics:
                 m.update_from_stats(np.asarray(iou_stats[0]), bool(iou_stats[1]))
 
@@ -440,7 +454,7 @@ class iSegTrainer:
             batch = self._prep_batch(batch_data)
             num_iters = pyrandom.randint(0, self.max_num_next_clicks)
             thr = self.val_metrics[0].iou_thresh if self.val_metrics else 0.4
-            _, _, loss, _, iou_stats = self._val_step(
+            _, _, loss, _, iou_stats, _ = self._val_step(
                 self.params, self.opt_state, batch, step_rng, num_iters, thr
             )
             val_loss += float(loss)
@@ -455,6 +469,34 @@ class iSegTrainer:
                     self.sw.add_scalar(f"Val/{m.name}", m.get_epoch_value(), epoch)
 
     # ------------------------------------------------------------------
+
+    def save_visualization(self, batch_data, vis_payload, global_step: int,
+                           prefix: str) -> None:
+        """Dump an image|GT|prediction panel for batch sample 0 every
+        ``image_dump_interval`` steps (reference: trainer.py:499-548).
+        Positive clicks drawn green, negatives red; GT ignore pixels 0.25."""
+        import cv2
+
+        vis_dir = Path(getattr(self.cfg, "VIS_PATH", "./vis")) / prefix
+        if self.task_prefix:
+            vis_dir = vis_dir / self.task_prefix
+        vis_dir.mkdir(parents=True, exist_ok=True)
+
+        probs, points = jax.device_get(vis_payload)
+        image = np.asarray(batch_data["images"][0], dtype=np.float32) * 255.0
+        gt = np.asarray(batch_data["instances"][0, ..., 0], dtype=np.float32)
+        gt[gt < 0] = 0.25
+
+        n_pos = self.max_interactive_points or points.shape[0] // 2
+        panel_img = draw_points(image, points[:n_pos], (0, 255, 0))
+        panel_img = draw_points(panel_img, points[n_pos:], (255, 0, 0))
+        panel = np.hstack([
+            np.clip(panel_img, 0, 255).astype(np.uint8),
+            draw_probmap(gt),
+            draw_probmap(np.asarray(probs, dtype=np.float32)),
+        ])
+        cv2.imwrite(str(vis_dir / f"{global_step:06d}_instance_segmentation.jpg"),
+                    panel[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 85])
 
     def _ensure_writer(self):
         if self.sw is None and self.is_master and getattr(

@@ -29,10 +29,10 @@ def init_model_from_modules_cfg(modules_cfg, cfg, **model_kwargs) -> iSegProbeMo
     )
 
 
-def train(model, cfg) -> None:
+def train(model, cfg, dataset_fn=get_sbd_train_val_datasets) -> None:
     """(reference: models/sbd/dinov2/patch-embed_noup.py:109-142)"""
     loss_cfg = get_loss_cfg(cfg)
-    trainset, valset = get_sbd_train_val_datasets(cfg)
+    trainset, valset = dataset_fn(cfg)
     optimizer_name, optimizer_params = get_optimizer_cfg(cfg)
     lr_scheduler = get_lr_scheduler(cfg)
 
@@ -60,12 +60,13 @@ def train(model, cfg) -> None:
     )
 
 
-def make_main(define_modules_cfg, **model_kwargs):
+def make_main(define_modules_cfg, dataset_fn=get_sbd_train_val_datasets,
+              **model_kwargs):
     def main(cfg):
         seed_all(cfg.training.seed)
         modules_cfg = define_modules_cfg(cfg)
         model = init_model_from_modules_cfg(modules_cfg, cfg, **model_kwargs)
-        train(model, cfg)
+        train(model, cfg, dataset_fn=dataset_fn)
 
     return main
 

@@ -75,8 +75,61 @@ def get_sbd_train_val_datasets(cfg) -> Tuple:
     return trainset, valset
 
 
+def get_synthetic_train_val_datasets(cfg) -> Tuple:
+    """Procedural shapes (no files / egress) for the end-to-end learning
+    demonstration — same augmentation + click-synthesis pipeline as SBD."""
+    from isegprobe_tpu.data.datasets import SyntheticShapesDataset
+
+    cfg.dataloader.batch_size = (
+        16 if cfg.dataloader.batch_size < 1 else cfg.dataloader.batch_size
+    )
+    cfg.dataloader.val_batch_size = cfg.dataloader.batch_size
+    crop_size = cfg.training_params.crop_size
+
+    train_augmentator = T.Compose([
+        T.UniformRandomResize(scale_range=(0.75, 1.25)),
+        T.Flip(),
+        T.RandomRotate90(),
+        T.PadIfNeeded(min_height=crop_size[0], min_width=crop_size[1]),
+        T.RandomCrop(*crop_size),
+        T.RandomBrightnessContrast(brightness_limit=(-0.2, 0.2),
+                                   contrast_limit=(-0.1, 0.3), p=0.5),
+    ], p=1.0)
+    val_augmentator = T.Compose([
+        T.PadIfNeeded(min_height=crop_size[0], min_width=crop_size[1]),
+        T.RandomCrop(*crop_size),
+    ], p=1.0)
+
+    points_sampler = MultiPointSampler(
+        cfg.training_params.num_max_points,
+        prob_gamma=0.80,
+        merge_objects_prob=0.15,
+        max_num_merged_objects=2,
+    )
+
+    trainset = SyntheticShapesDataset(
+        n_samples=320,
+        seed=17,
+        augmentator=train_augmentator,
+        min_object_area=80,
+        keep_background_prob=0.01,
+        points_sampler=points_sampler,
+        epoch_len=320,
+    )
+    valset = SyntheticShapesDataset(
+        n_samples=48,
+        seed=999,
+        augmentator=val_augmentator,
+        min_object_area=80,
+        points_sampler=points_sampler,
+        epoch_len=48,
+    )
+    return trainset, valset
+
+
 def get_optimizer_cfg(cfg) -> Tuple[str, Dict]:
-    return "adam", {"lr": 5e-5, "betas": (0.9, 0.999), "eps": 1e-8}
+    lr = float(getattr(cfg.training_params, "lr", 5e-5))
+    return "adam", {"lr": lr, "betas": (0.9, 0.999), "eps": 1e-8}
 
 
 def get_lr_scheduler(cfg) -> Dict:

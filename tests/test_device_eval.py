@@ -70,3 +70,45 @@ def test_device_loop_matches_host_protocol(model_and_params, seed):
         f"click counts diverge: host {len(host_ious)} vs device {len(dev_ious)}"
     )
     np.testing.assert_allclose(dev_ious, host_ious, rtol=1e-3, atol=1e-3)
+
+
+def test_batched_device_loop_matches_single(model_and_params):
+    """vmap'd whole-protocol evaluator must reproduce the single-sample
+    trajectories exactly, including early-stopped lanes (done-masking)."""
+    from isegprobe_tpu.inference.device_eval import evaluate_dataset_device
+
+    model, params = model_and_params
+    max_clicks = 4
+    common = dict(target_size=(56, 56), max_clicks=max_clicks,
+                  net_clicks_limit=max_clicks, pred_thr=0.49, target_iou=0.80,
+                  with_flip=True)
+    run1 = make_device_evaluator(model, **common)
+    runB = make_device_evaluator(model, batch_size=3, **common)
+
+    class _DS:
+        def __init__(self, seeds):
+            self.seeds = seeds
+
+        def __len__(self):
+            return len(self.seeds)
+
+        def get_sample(self, i):
+            class S:
+                pass
+
+            img, gt = _scene(self.seeds[i])
+            s = S()
+            s.image, s.objects_ids = img, [1]
+            s.gt_mask = lambda _oid, g=gt: g
+            return s
+
+    ds = _DS([0, 3, 5, 7, 11])  # 5 jobs -> one full batch + padded tail
+    singles = evaluate_dataset_device(run1, params, ds)
+    times: list = []
+    batched = evaluate_dataset_device(runB, params, ds, batch_size=3,
+                                      sample_times=times)
+    assert len(batched) == len(singles) == 5
+    assert len(times) == 5 and all(t > 0 for t in times)
+    for a, b in zip(singles, batched):
+        assert len(a) == len(b), "batched lane stopped at a different click"
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)

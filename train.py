@@ -21,12 +21,15 @@ def main() -> None:
     # snapshot the resolved config into the run dir
     import yaml
 
+    def _plain(v):
+        if isinstance(v, dict):
+            return {k: _plain(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_plain(x) for x in v]
+        return v if isinstance(v, (int, float, bool, str, type(None))) else str(v)
+
     with open(cfg.EXP_PATH / "resolved_config.yaml", "w") as f:
-        yaml.safe_dump(
-            {k: str(v) if not isinstance(v, (int, float, bool, str, list, dict))
-             else v for k, v in cfg.items()},
-            f,
-        )
+        yaml.safe_dump(_plain(dict(cfg)), f)
 
     model_script.main(cfg)
 

@@ -2,6 +2,10 @@
 
 Usage:
     python demo.py checkpoint=/path/to/ckpt [eval_mode=fixed448]
+
+Left click adds a positive point, right click a negative one; mouse wheel
+zooms, middle-drag (or Ctrl+drag) pans. The controls column exposes the same
+options the reference GUI does (ZoomIn, BRS mode, thresholds, blending).
 """
 
 import sys
@@ -14,24 +18,29 @@ def main() -> None:
     eval_cfg = load_config("configs/eval_cfg.yaml", overrides)
 
     from evaluate import get_zoomin_params, load_model_for_eval
-    from isegprobe_tpu.inference.predictor import TPUPredictor
+    from isegprobe_tpu.inference.brs import get_predictor
 
     model, params = load_model_for_eval(eval_cfg.checkpoint, eval_cfg)
-    zoomin_params = get_zoomin_params(eval_cfg, "demo")
+    default_zoomin = get_zoomin_params(eval_cfg, "demo")
 
-    def predictor_factory():
-        return TPUPredictor(
+    def predictor_builder(brs_mode="NoBRS", prob_thresh=0.5,
+                          zoomin_params=None, predictor_params=None,
+                          lbfgs_max_iters=20):
+        return get_predictor(
             model,
             params,
-            target_size=zoomin_params["target_size"],
-            skip_clicks=zoomin_params["skip_clicks"],
+            brs_mode=brs_mode,
+            prob_thresh=prob_thresh,
             with_flip=True,
-            net_clicks_limit=eval_cfg.n_clicks,
+            zoom_in_params=(zoomin_params if zoomin_params is not None
+                            else default_zoomin),
+            predictor_params=predictor_params,
+            lbfgs_params={"maxfun": lbfgs_max_iters},
         )
 
     from isegprobe_tpu.interactive_demo.app import run_app
 
-    run_app(predictor_factory, prob_thresh=eval_cfg.thresh)
+    run_app(predictor_builder, prob_thresh=eval_cfg.thresh)
 
 
 if __name__ == "__main__":

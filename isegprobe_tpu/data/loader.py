@@ -35,6 +35,8 @@ class DataLoader:
         num_workers: int = 4,
         seed: int = 0,
         prefetch: int = 2,
+        rank: int = None,
+        world: int = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,11 +46,14 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self._epoch = 0
+        # process identity is overridable so multi-host sharding semantics are
+        # unit-testable without a multi-process launch (SURVEY.md §4)
+        self.rank = jax.process_index() if rank is None else rank
+        self.world = max(1, jax.process_count() if world is None else world)
 
     def __len__(self) -> int:
-        n = len(self.dataset)
         # rank-strided sharding across processes
-        n = n // max(1, jax.process_count())
+        n = len(self.dataset) // self.world
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -57,12 +62,12 @@ class DataLoader:
         self._epoch = epoch
 
     def _indices(self) -> List[int]:
-        n = len(self.dataset)
-        idx = list(range(n))
+        idx = list(range(len(self.dataset)))
         if self.shuffle:
+            # all ranks shuffle with the same (seed, epoch) key and take
+            # disjoint strides — the DistributedSampler contract
             random.Random(self.seed + self._epoch).shuffle(idx)
-        rank, world = jax.process_index(), jax.process_count()
-        return idx[rank::world]
+        return idx[self.rank::self.world]
 
     def _build(self, chunk: List[int]) -> Dict[str, np.ndarray]:
         return _stack([self.dataset[i] for i in chunk])

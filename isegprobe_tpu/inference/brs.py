@@ -405,6 +405,7 @@ def get_predictor(
         zoom_kwargs = {
             "target_size": zoom_in_params.get("target_size", (448, 448)),
             "skip_clicks": zoom_in_params.get("skip_clicks", -1),
+            "expansion_ratio": zoom_in_params.get("expansion_ratio", 1.4),
         }
 
     if brs_mode == "NoBRS":

@@ -396,6 +396,9 @@ class iSegTrainer:
         for metric in self.train_metrics:
             metric.reset_epoch_stats()
 
+        # explicit epoch pinning so every rank permutes identically and a
+        # resumed run re-seeds its data order (ref: trainer.py:201-202)
+        self.train_data.set_epoch(epoch)
         pyrandom.seed(self.seed + epoch)
         train_loss = 0.0
         t0 = time.time()

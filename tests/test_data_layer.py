@@ -136,3 +136,43 @@ def test_compose_datasets():
 
     prop = ProportionalComposeDataset([_DS(3), _DS(5)], ratios=[0.3, 0.7])
     assert isinstance(prop.get_sample(0), DSample)
+
+
+def test_multihost_rank_striding():
+    """Rank-strided sharding semantics (reference DistributedSampler contract,
+    core/utils/distributed.py:56-63): disjoint per-rank shards that cover the
+    permutation, identical across ranks for a given epoch, re-permuted by
+    set_epoch."""
+
+    class _DS(iSegBaseDataset):
+        def __init__(self):
+            super().__init__()
+            self.dataset_samples = list(range(37))
+
+        def __getitem__(self, index):
+            return {"x": np.asarray([index], dtype=np.int64)}
+
+    world = 4
+    loaders = [
+        DataLoader(_DS(), batch_size=2, shuffle=True, num_workers=1, seed=5,
+                   rank=r, world=world)
+        for r in range(world)
+    ]
+    for ld in loaders:
+        ld.set_epoch(3)
+        assert len(ld) == (37 // world) // 2
+
+    shards = [[int(b["x"][i, 0]) for b in ld for i in range(b["x"].shape[0])]
+              for ld in loaders]
+    flat = [i for s in shards for i in s]
+    assert len(flat) == len(set(flat)), "rank shards overlap"
+    # per-rank batch accounting: every rank sees the same number of batches
+    assert len({len(s) for s in shards}) == 1
+
+    # same epoch -> same shard; different epoch -> different permutation
+    loaders[0].set_epoch(3)
+    again = [int(b["x"][i, 0]) for b in loaders[0] for i in range(2)]
+    assert again == shards[0]
+    loaders[0].set_epoch(4)
+    other = [int(b["x"][i, 0]) for b in loaders[0] for i in range(2)]
+    assert other != shards[0]

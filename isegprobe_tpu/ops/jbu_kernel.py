@@ -33,11 +33,10 @@ NTAP = DIAM * DIAM  # 49
 
 
 def _jbu_kernel(temp_ref, spatial_ref, proj_hbm, hr_hbm, o_ref,
-                pscr, hscr, sems, *, th, tw, cb, key_dim):
+                pscr, hscr, escr, sems, *, th, tw, cb, nc, key_dim):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    c = pl.program_id(3)
 
     # width slab is tw + 8 (>= tw + 2*RADIUS, 8-sublane aligned for the DMA)
     pdma = pltpu.make_async_copy(
@@ -48,57 +47,80 @@ def _jbu_kernel(temp_ref, spatial_ref, proj_hbm, hr_hbm, o_ref,
     )
     hdma = pltpu.make_async_copy(
         hr_hbm.at[b, pl.ds(i * th, th + 2 * RADIUS),
-                  pl.ds(j * tw, tw + 8), pl.ds(c * cb, cb)],
+                  pl.ds(j * tw, tw + 8), :],
         hscr,
         sems.at[1],
     )
     pdma.start()
     hdma.start()
     pdma.wait()
-    hdma.wait()
 
     center = pscr[RADIUS : RADIUS + th, RADIUS : RADIUS + tw, :]
     temp = jnp.clip(jnp.exp(temp_ref[0, 0]), 1e-4, 1e4)
 
     # Loop structure: rolled fori over the 7 row offsets (dynamic slice on the
-    # cheap untiled dim 0) with the 7 column offsets unrolled as static
-    # sublane shifts. Fully unrolling 49 taps blows the 16M scoped-VMEM stack;
-    # fully rolling makes Mosaic lower 49 dynamic sublane shifts (minutes of
-    # compile). This hybrid keeps ≤7 tap temporaries live.
+    # cheap untiled dim 0); everything per-offset runs on the MXU. Fully
+    # unrolling 49 taps blows the 16M scoped-VMEM stack; fully rolling makes
+    # Mosaic lower 49 dynamic sublane shifts (minutes of compile).
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tw, tw + 8), 0)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (tw, tw + 8), 1)
+    dmask = [(tt == jj + kx).astype(jnp.float32) for kx in range(DIAM)]
 
-    def row_sims(ky):
-        """[DIAM, th, tw] similarities of the 7 taps in row offset ky."""
+    # Similarities via a Gram matmul: G[s,j,t] = ⟨key(s,j), key(s+ky,t)⟩ for
+    # one row offset ky computes all 7 column taps at once — the taps are G's
+    # band diagonals. One [tw,K]x[K,tw+8] batched matmul replaces 7 VPU
+    # K-wide reductions; raw sims land in escr so max/exp never recompute.
+    def sims_body(ky, m):
         rslab = pscr[pl.ds(ky, th), :, :]  # [th, tw+8, K]
-        return [
-            jnp.sum(center * rslab[:, kx : kx + tw, :], axis=-1) * temp
-            for kx in range(DIAM)
-        ]
-
-    def max_body(ky, acc):
-        for s in row_sims(ky):
-            acc = jnp.maximum(acc, s)
-        return acc
+        gram = jax.lax.dot_general(
+            center, rslab, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [th, tw, tw+8]
+        for kx in range(DIAM):
+            s = jnp.sum(gram * dmask[kx][None], axis=-1) * temp
+            escr[ky * DIAM + kx] = s
+            m = jnp.maximum(m, s)
+        return m
 
     m = jax.lax.fori_loop(
-        0, DIAM, max_body, jnp.full((th, tw), -jnp.inf, dtype=jnp.float32)
+        0, DIAM, sims_body, jnp.full((th, tw), -jnp.inf, dtype=jnp.float32)
     )
 
-    def acc_body(ky, carry):
-        num, den = carry
-        hslab = hscr[pl.ds(ky, th), :, :]  # [th, tw+8, cb]
-        for kx, s in enumerate(row_sims(ky)):
-            # spatial weight: dynamic row offset × static col offset
-            e = jnp.exp(s - m) * spatial_ref[0, ky * DIAM + kx]
+    def weight_body(ky, den):
+        for kx in range(DIAM):
+            p = ky * DIAM + kx
+            e = jnp.exp(escr[p] - m) * spatial_ref[0, p]
+            escr[p] = e
             den = den + e
-            num = num + e[:, :, None] * hslab[:, kx : kx + tw, :]
-        return num, den
+        return den
 
-    num, den = jax.lax.fori_loop(
-        0, DIAM, acc_body,
-        (jnp.zeros((th, tw, cb), jnp.float32), jnp.zeros((th, tw), jnp.float32)),
+    den = jax.lax.fori_loop(
+        0, DIAM, weight_body, jnp.zeros((th, tw), jnp.float32)
     )
+    inv_den = 1.0 / jnp.maximum(den, 1e-7)
 
-    o_ref[0] = (num / jnp.maximum(den, 1e-7)[:, :, None]).astype(o_ref.dtype)
+    hdma.wait()
+
+    # Accumulation on the MXU: out[s,j,c] = Σ_ky Σ_kx E[ky,kx][s,j]·hr[s+ky,
+    # j+kx,c] is, per row offset ky, a *banded* matmul — scatter the 7 tap
+    # weight planes onto band diagonals M[s,j,j+kx] and contract with the
+    # [tw+8, C] slab. 7 batched 96×104×C matmuls beat 49 shifted
+    # multiply-adds on the VPU.
+    def acc_body(ky, num):
+        hslab = hscr[pl.ds(ky, th), :, :]  # [th, tw+8, cp]
+        band = jnp.zeros((th, tw, tw + 8), jnp.float32)
+        for kx in range(DIAM):
+            band = band + escr[ky * DIAM + kx][:, :, None] * dmask[kx][None]
+        return num + jax.lax.dot_general(
+            band, hslab, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    num = jax.lax.fori_loop(
+        0, DIAM, acc_body,
+        jnp.zeros((th, tw, hscr.shape[-1]), jnp.float32),
+    )
+    o_ref[0] = (num * inv_den[:, :, None]).astype(o_ref.dtype)
 
 
 def _pad_to(x, axis, multiple):
@@ -123,10 +145,11 @@ def jbu_filter_pallas(hr, proj, temp, sigma, interpret: bool = False):
     b, h, w, cch = hr.shape
     proj = _pad_to(proj, 3, 128)  # DMA minor-dim alignment
     key_dim = proj.shape[-1]
-    # tile sized to keep halo slabs + fori carries + one tap's temporaries
-    # inside the 16M scoped-VMEM budget
+    # tile sized to keep halo slabs (full channel extent since v2 sweeps
+    # channels inside the program) + fori carries + the unrolled row of tap
+    # temporaries inside the 16M scoped-VMEM budget
     th = min(16, max(8, h))
-    tw = min(96, max(8, w))
+    tw = min(64, max(8, w))
 
     # output tiling covers [0, hp) x [0, wp) with hp/wp the tile-rounded-up
     # extents; straddling tiles read only the reflect halo for their valid
@@ -144,10 +167,16 @@ def jbu_filter_pallas(hr, proj, temp, sigma, interpret: bool = False):
     hr_p = jnp.pad(hr_p, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     proj_p = jnp.pad(proj_p, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
 
-    cb = min(128, cch)
+    # channel padding to 128 keeps the hr DMA minor dim aligned (narrower
+    # minors crash the Mosaic compile), mirroring the proj 32->128 pad
+    cb = 128
     hr_pc = _pad_to(hr_p, 3, cb).astype(jnp.float32)
     cp = hr_pc.shape[-1]
     nc = cp // cb
+    # the channel sweep lives inside the program (weights computed once per
+    # tile); hscr VMEM grows with cp, so very wide features would need a
+    # channel-grid variant — the JBU configs top out at C=384
+    assert cp <= 512, f"jbu_filter_pallas supports C<=512, got {cch}"
 
     temp_arr = jnp.asarray(temp, jnp.float32).reshape(1, 1)
     grid = jnp.linspace(-1.0, 1.0, DIAM)
@@ -157,26 +186,93 @@ def jbu_filter_pallas(hr, proj, temp, sigma, interpret: bool = False):
     ).reshape(1, NTAP)
 
     out = pl.pallas_call(
-        functools.partial(_jbu_kernel, th=th, tw=tw, cb=cb, key_dim=key_dim),
+        functools.partial(_jbu_kernel, th=th, tw=tw, cb=cb, nc=nc,
+                          key_dim=key_dim),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, cp), jnp.float32),
-        grid=(b, nh, nw, nc),
+        grid=(b, nh, nw),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda bi, i, j, c: (0, 0),
+            pl.BlockSpec((1, 1), lambda bi, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, NTAP), lambda bi, i, j, c: (0, 0),
+            pl.BlockSpec((1, NTAP), lambda bi, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, th, tw, cb),
-                               lambda bi, i, j, c: (bi, i, j, c),
+        out_specs=pl.BlockSpec((1, th, tw, cp),
+                               lambda bi, i, j: (bi, i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((th + 2 * RADIUS, tw + 8, key_dim), jnp.float32),
-            pltpu.VMEM((th + 2 * RADIUS, tw + 8, cb), jnp.float32),
+            pltpu.VMEM((th + 2 * RADIUS, tw + 8, cp), jnp.float32),
+            pltpu.VMEM((NTAP, th, tw), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(temp_arr, spatial_arr, proj_p.astype(jnp.float32), hr_pc)
 
     return out[:, :h, :w, :cch].astype(hr.dtype)
+
+
+def jbu_filter_xla(hr, proj, temp, sigma):
+    """Unfused reference composition (rolled 49-tap loops; differentiable).
+
+    Used as the CPU/test path and as the backward rule of the fused kernel.
+    The naive unrolled form materializes 49 × [B, H, W, C] intermediates and
+    OOMs HBM at the ×16 stage of a 448² eval, hence the fori_loop form.
+    """
+    r, d = RADIUS, DIAM
+    b, gh, gw, c = hr.shape
+    kc = proj.shape[-1]
+
+    proj_pad = jnp.pad(proj, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
+
+    def sims_body(p, sims):
+        ky, kx = p // d, p % d
+        shifted = jax.lax.dynamic_slice(proj_pad, (0, ky, kx, 0),
+                                        (b, gh, gw, kc))
+        s = jnp.sum(proj * shifted, axis=-1)
+        return jax.lax.dynamic_update_index_in_dim(sims, s, p, axis=-1)
+
+    sims = jax.lax.fori_loop(
+        0, d * d, sims_body, jnp.zeros((b, gh, gw, d * d), jnp.float32)
+    )
+    temp_c = jnp.clip(jnp.exp(temp), 1e-4, 1e4)
+    range_kernel = jax.nn.softmax(temp_c * sims, axis=-1)
+
+    grid = jnp.linspace(-1.0, 1.0, d)
+    yy, xx = jnp.meshgrid(grid, grid, indexing="ij")
+    spatial = jnp.exp(-(yy**2 + xx**2) / (2.0 * sigma**2)).reshape(-1)
+    kernel = range_kernel * spatial
+    kernel = kernel / jnp.clip(kernel.sum(axis=-1, keepdims=True), 1e-7)
+
+    hr_pad = jnp.pad(hr, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
+
+    def acc_body(p, out):
+        ky, kx = p // d, p % d
+        shifted = jax.lax.dynamic_slice(hr_pad, (0, ky, kx, 0), (b, gh, gw, c))
+        w = jax.lax.dynamic_index_in_dim(kernel, p, axis=-1, keepdims=True)
+        return out + w * shifted
+
+    return jax.lax.fori_loop(0, d * d, acc_body, jnp.zeros_like(hr))
+
+
+@jax.custom_vjp
+def jbu_filter_fused(hr, proj, temp, sigma):
+    """Fused Pallas forward with an XLA-composition backward: the kernel has
+    no VJP of its own, but training differentiates *through* the upsampler
+    (loss -> head -> upsampler -> backbone -> click encoder), so the backward
+    recomputes via the numerically-identical unfused form (on-device parity
+    ~1e-6, scripts/bench_jbu.py)."""
+    return jbu_filter_pallas(hr, proj, temp, sigma)
+
+
+def _jbu_fused_fwd(hr, proj, temp, sigma):
+    return jbu_filter_fused(hr, proj, temp, sigma), (hr, proj, temp, sigma)
+
+
+def _jbu_fused_bwd(residuals, g):
+    _, vjp = jax.vjp(jbu_filter_xla, *residuals)
+    return vjp(g.astype(jnp.float32))
+
+
+jbu_filter_fused.defvjp(_jbu_fused_fwd, _jbu_fused_bwd)

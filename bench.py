@@ -61,31 +61,79 @@ def synthetic_sample(hw=(480, 640)):
     return img, gt
 
 
-def measure_ours() -> list:
-    """Per-click latency of the fully on-device NoC loop (one dispatch per
+def forward_gflops(target: int = 448, embed_dim: int = 384, depth: int = 12,
+                   patch: int = 14, head_layers: int = 2) -> float:
+    """Analytic FLOPs of one flip-TTA click forward (batch 2) — ViT blocks
+    (12·N·d² qkv/proj/mlp + 4·N²·d attention) + 3x3 conv head."""
+    n = (target // patch) ** 2 + 1
+    per_block = 12 * n * embed_dim**2 * 2 + 4 * n**2 * embed_dim
+    vit = depth * per_block
+    head = head_layers * 9 * embed_dim**2 * (target // patch) ** 2 * 2
+    return 2 * (vit + head) / 1e9  # x2 for the flip pair
+
+
+def measure_ours(target=(448, 448), sample_hw=(480, 640), repeats=None):
+    """Per-sample wall times of the fully on-device NoC loop (one dispatch per
     sample; protocol-parity-tested against the host clicker+predictor path in
-    tests/test_device_eval.py)."""
+    tests/test_device_eval.py). Returns (per_click_times, n_clicks)."""
     from isegprobe_tpu.inference.device_eval import (
         evaluate_sample_device,
         make_device_evaluator,
     )
 
     predictor = build_predictor()
-    img, gt = synthetic_sample()
+    img, gt = synthetic_sample(sample_hw)
     run = make_device_evaluator(
-        predictor.model, target_size=(448, 448), max_clicks=20,
+        predictor.model, target_size=target, max_clicks=20,
         net_clicks_limit=20, pred_thr=0.49, target_iou=1.01, with_flip=True,
     )
     # warmup / compile
     evaluate_sample_device(run, predictor.params, img, gt)
 
     times = []
-    for _ in range(max(1, N_CLICKS // 20)):
+    for _ in range(repeats or max(1, N_CLICKS // 20)):
         t0 = time.perf_counter()
         ious = evaluate_sample_device(run, predictor.params, img, gt)
         per_click = (time.perf_counter() - t0) / max(1, len(ious))
         times.extend([per_click] * len(ious))
     return times
+
+
+def measure_batched_throughput(batch_size: int = 8) -> float:
+    """Dataset-eval clicks/s with the vmapped whole-protocol evaluator."""
+    from isegprobe_tpu.inference.device_eval import (
+        evaluate_dataset_device,
+        make_device_evaluator,
+    )
+
+    predictor = build_predictor()
+
+    class _DS:
+        def __len__(self):
+            return batch_size * 2
+
+        def get_sample(self, i):
+            class S:
+                pass
+
+            img, gt = synthetic_sample((375, 500))
+            s = S()
+            s.image, s.objects_ids = img, [1]
+            s.gt_mask = lambda _o, g=gt: g
+            return s
+
+    run = make_device_evaluator(
+        predictor.model, target_size=(448, 448), max_clicks=20,
+        net_clicks_limit=20, pred_thr=0.49, target_iou=1.01, with_flip=True,
+        batch_size=batch_size,
+    )
+    evaluate_dataset_device(run, predictor.params, _DS(),
+                            batch_size=batch_size)  # compile
+    t0 = time.perf_counter()
+    ious = evaluate_dataset_device(run, predictor.params, _DS(),
+                                   batch_size=batch_size)
+    dt = time.perf_counter() - t0
+    return sum(len(a) for a in ious) / dt
 
 
 def measure_torch_baseline() -> float:
@@ -126,13 +174,24 @@ def measure_torch_baseline() -> float:
 def main():
     times = measure_ours()
     p50_ms = float(np.median(times) * 1000)
+    p95_ms = float(np.percentile(times, 95) * 1000)
+    davis_times = measure_ours(sample_hw=(480, 854), repeats=2)
+    davis_ms = float(np.median(davis_times) * 1000)
+    clicks_per_s = measure_batched_throughput(8)
     baseline_s = measure_torch_baseline()
     vs = (baseline_s * 1000 / p50_ms) if np.isfinite(baseline_s) else None
+    # MFU of the per-click loop vs the chip's f32 matmul peak (v5e ~49 TF/s;
+    # the loop runs f32 end-to-end for NoC parity — see BASELINE.md)
+    mfu_f32 = forward_gflops() / (p50_ms / 1e3) / 49e3 * 100
     print(json.dumps({
         "metric": "p50_per_click_latency",
         "value": round(p50_ms, 3),
         "unit": "ms",
         "vs_baseline": round(vs, 2) if vs else None,
+        "p95_ms": round(p95_ms, 3),
+        "davis_scale_p50_ms": round(davis_ms, 3),
+        "batched_clicks_per_s": round(clicks_per_s, 1),
+        "mfu_f32_pct": round(mfu_f32, 2),
     }))
 
 

@@ -37,9 +37,49 @@ def brs_mask_loss(result, pos_mask, neg_mask, eps: float = 1e-5):
     return loss, jnp.max(jnp.abs(pos_diff)), jnp.max(jnp.abs(neg_diff))
 
 
+class OracleMaskLoss:
+    """BCE against the ground-truth mask instead of click consistency — the
+    oracle-analysis BRS objective (reference: brs_losses.py:35-68).
+
+    Call ``set_gt_mask`` per sample; when attached to a predictor (the factory
+    sets ``self.predictor``), the GT is cropped to the current ZoomIn ROI and
+    resized to the prediction before the BCE. Returns fmax values of 1.0 so
+    the click-satisfaction early stop never triggers; convergence is handled
+    by the optimizer's oracle plateau check instead.
+    """
+
+    def __init__(self) -> None:
+        self.gt_mask = None  # [H, W] float
+        self.predictor = None
+        self.history: list = []
+
+    def set_gt_mask(self, gt_mask) -> None:
+        self.gt_mask = np.asarray(gt_mask, dtype=np.float32)
+        self.history = []
+
+    def __call__(self, result, pos_mask, neg_mask, eps: float = 1e-6):
+        from isegprobe_tpu.ops.resize import resize
+
+        del pos_mask, neg_mask
+        gt = self.gt_mask
+        roi = getattr(self.predictor, "_object_roi", None) if self.predictor \
+            else None
+        if roi is not None:
+            r1, r2, c1, c2 = roi[:4]
+            gt = gt[r1 : r2 + 1, c1 : c2 + 1]
+        gt_j = resize(jnp.asarray(gt)[None, :, :, None], result.shape[1:3],
+                      "bilinear", align_corners=True)
+        if result.shape[0] == 2 * gt_j.shape[0]:  # flip-TTA batch doubling
+            gt_j = jnp.concatenate([gt_j, gt_j[:, :, ::-1]], axis=0)
+        p = jnp.clip(result, eps, 1.0 - eps)
+        bce = -jnp.mean(gt_j * jnp.log(p) + (1.0 - gt_j) * jnp.log(1.0 - p))
+        return bce, jnp.asarray(1.0), jnp.asarray(1.0)
+
+
 class BaseOptimizer:
     """scipy-facing functor with early stop on click satisfaction and IoU
-    plateau (reference: brs_optimizers.py:13-97)."""
+    plateau (reference: brs_optimizers.py:13-97). ``loss_fn`` swaps the
+    click-consistency objective (default) for e.g. :class:`OracleMaskLoss`."""
 
     def __init__(
         self,
@@ -49,6 +89,7 @@ class BaseOptimizer:
         min_iou_diff: float = 0.01,
         with_flip: bool = False,
         flip_average: bool = False,
+        loss_fn=None,
         **kwargs,
     ) -> None:
         self.optimizer_params = optimizer_params
@@ -57,6 +98,7 @@ class BaseOptimizer:
         self.min_iou_diff = min_iou_diff
         self.with_flip = with_flip
         self.flip_average = flip_average
+        self.loss_fn = loss_fn
         self.best_prediction = None
         self._value_and_grad = None
         self._opt_shape = None
@@ -82,8 +124,9 @@ class BaseOptimizer:
                 result = 0.5 * (result[:half] + result[half:, :, ::-1])
                 pos_mask_j = pos_mask_j[:half]
                 neg_mask_j = neg_mask_j[:half]
-            loss, f_max_pos, f_max_neg = brs_mask_loss(result, pos_mask_j,
-                                                       neg_mask_j)
+            loss_fn = self.loss_fn or brs_mask_loss
+            loss, f_max_pos, f_max_neg = loss_fn(result, pos_mask_j,
+                                                 neg_mask_j)
             return loss + reg_loss, (logits, result, f_max_pos, f_max_neg)
 
         self._value_and_grad = jax.jit(jax.value_and_grad(objective, has_aux=True))
@@ -96,6 +139,13 @@ class BaseOptimizer:
         if self.best_prediction is None or f_val < self._best_loss:
             self.best_prediction = np.asarray(logits)
             self._best_loss = f_val
+
+        if isinstance(self.loss_fn, OracleMaskLoss):
+            # oracle plateau stop (reference: brs_losses.py:63-66)
+            hist = self.loss_fn.history
+            hist.append(f_val)
+            if len(hist) > 5 and abs(hist[-5] - hist[-1]) < 1e-5:
+                return [f_val, np.zeros_like(x)]
 
         if float(f_max_pos) < (1 - self.prob_thresh) and float(
             f_max_neg
@@ -423,9 +473,12 @@ def get_predictor(
                        "f-BRS-C": "sin"}.get(brs_mode, None),
             **brs_opt_func_params,
         )
-        return FeatureBRSPredictor(model, params, opt_functor,
-                                   with_flip=False, **zoom_kwargs,
-                                   **predictor_params_)
+        predictor = FeatureBRSPredictor(model, params, opt_functor,
+                                        with_flip=False, **zoom_kwargs,
+                                        **predictor_params_)
+        if isinstance(opt_functor.loss_fn, OracleMaskLoss):
+            opt_functor.loss_fn.predictor = predictor
+        return predictor
 
     if brs_mode in ("RGB-BRS", "DistMap-BRS"):
         opt_functor = InputOptimizer(
@@ -434,10 +487,13 @@ def get_predictor(
             optimizer_params=lbfgs_params_,
             **brs_opt_func_params,
         )
-        return InputBRSPredictor(
+        predictor = InputBRSPredictor(
             model, params, opt_functor,
             optimize_target="rgb" if brs_mode == "RGB-BRS" else "dmaps",
             with_flip=False, **zoom_kwargs, **predictor_params_,
         )
+        if isinstance(opt_functor.loss_fn, OracleMaskLoss):
+            opt_functor.loss_fn.predictor = predictor
+        return predictor
 
     raise ValueError(f"Unsupported BRS mode: {brs_mode}")

@@ -393,3 +393,91 @@ def _clicks_inside(object_roi: Bbox, clicks_list: List[Click]) -> bool:
             if not (object_roi[2] <= click.coords[1] < object_roi[3]):
                 return False
     return True
+
+
+class TransformChainPredictor:
+    """Generic host-protocol predictor over an arbitrary invertible transform
+    chain (reference: core/inference/predictors/base_predictor.py:67-108 +
+    transforms/base_transform.py).
+
+    Where :class:`TPUPredictor` compiles its fixed ZoomIn+flip pipeline into
+    one program, this variant applies the composable transform objects
+    (inference/transforms.py — ZoomIn, AddHorizontalFlip, LimitLongestSide,
+    Crops, SigmoidForPred) on the host and runs one compiled forward per crop
+    batch — the path for protocols the fused predictor does not cover (e.g.
+    tiled Crops evaluation of very large frames).
+    """
+
+    def __init__(self, model, params, transforms: Optional[List] = None,
+                 net_clicks_limit: int = 20) -> None:
+        self.model = model
+        self.params = params
+        self.transforms = transforms or []
+        self.net_clicks_limit = net_clicks_limit
+        self.with_prev_mask = getattr(model, "with_prev_mask", False)
+        self.original_image: Optional[np.ndarray] = None
+        self.prev_prediction: Optional[np.ndarray] = None
+        self._forward = jax.jit(
+            lambda p, x, pts: model.apply({"params": p}, x, pts)["instances"]
+        )
+
+    def set_input_image(self, image: np.ndarray) -> None:
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        self.original_image = image[None]  # [1, H, W, 3]
+        self.prev_prediction = np.zeros((1, *image.shape[:2], 1), np.float32)
+        for t in self.transforms:
+            t.reset()
+
+    def _points_nd(self, clicks_lists: List[List[Click]]) -> np.ndarray:
+        n = self.net_clicks_limit
+        points = np.full((len(clicks_lists), 2 * n, 3), -1.0, dtype=np.float32)
+        for bi, clicks in enumerate(clicks_lists):
+            pi = ni = 0
+            for click in clicks[:n]:
+                if click.is_positive:
+                    points[bi, pi] = click.coords_and_indx
+                    pi += 1
+                else:
+                    points[bi, n + ni] = click.coords_and_indx
+                    ni += 1
+        return points
+
+    def get_prediction(self, clicker: Clicker, prev_mask=None) -> np.ndarray:
+        clicks_list = clicker.get_clicks()
+        x = self.original_image
+        if self.with_prev_mask:
+            prev = self.prev_prediction if prev_mask is None else prev_mask
+            x = np.concatenate([x, np.asarray(prev, np.float32)], axis=-1)
+
+        # thread one click list per batch element through the chain; fan-out
+        # transforms (Crops, flip) grow both together (ref base_predictor:99)
+        clicks_lists = [clicks_list]
+        x = np.asarray(x)
+        for t in self.transforms:
+            x, clicks_lists = t.transform(x, clicks_lists)
+            x = np.asarray(x)
+
+        points = self._points_nd(clicks_lists)
+        logits = np.asarray(self._forward(self.params, jnp.asarray(x),
+                                          jnp.asarray(points)))
+        prediction = logits
+        for t in reversed(self.transforms):
+            prediction = t.inv_transform(prediction)
+
+        probs = np.asarray(prediction)[0, :, :, 0]
+        self.prev_prediction = np.asarray(prediction[:1], np.float32)
+        return probs
+
+    # demo/undo state protocol
+    def get_states(self) -> Dict:
+        return {
+            "transform_states": [t.get_state() for t in self.transforms],
+            "prev_prediction": None if self.prev_prediction is None
+            else self.prev_prediction.copy(),
+        }
+
+    def set_states(self, states: Dict) -> None:
+        for t, s in zip(self.transforms, states["transform_states"]):
+            t.set_state(s)
+        self.prev_prediction = states["prev_prediction"]

@@ -80,3 +80,47 @@ def test_nobrs_factory(model_and_params):
     from isegprobe_tpu.inference.predictor import TPUPredictor
 
     assert isinstance(predictor, TPUPredictor)
+
+
+def test_oracle_mask_loss_brs(model_and_params):
+    """Oracle-analysis BRS: optimizing BCE against the GT mask must push the
+    prediction toward the GT (reference: brs_losses.py:35-68)."""
+    from isegprobe_tpu.inference.brs import OracleMaskLoss, get_predictor
+    from isegprobe_tpu.inference.clicker import Click, Clicker
+    from isegprobe_tpu.inference.evaluation import get_iou
+
+    model, params = model_and_params
+    rng = np.random.default_rng(0)
+    img = (rng.random((56, 56, 3)) * 70).astype(np.uint8)
+    gt = np.zeros((56, 56), np.int32)
+    gt[14:42, 10:46] = 1
+    img[gt == 1] = [185, 175, 85]
+
+    oracle = OracleMaskLoss()
+    pred_plain = get_predictor(
+        model, params, brs_mode="f-BRS-B", prob_thresh=0.49, with_flip=False,
+        zoom_in_params={"skip_clicks": -1, "target_size": (56, 56)},
+        predictor_params={"net_clicks_limit": 4},
+    )
+    pred_oracle = get_predictor(
+        model, params, brs_mode="f-BRS-B", prob_thresh=0.49, with_flip=False,
+        zoom_in_params={"skip_clicks": -1, "target_size": (56, 56)},
+        predictor_params={"net_clicks_limit": 4},
+        brs_opt_func_params={"loss_fn": oracle},
+    )
+    assert oracle.predictor is pred_oracle
+    oracle.set_gt_mask(gt.astype(np.float32))
+
+    ious = {}
+    for name, pred in (("plain", pred_plain), ("oracle", pred_oracle)):
+        pred.set_input_image(img)
+        clicker = Clicker(gt_mask=gt)
+        clicker.add_click(Click(is_positive=True, coords=(28, 28)))
+        pred.get_prediction(clicker)
+        # BRS kicks in after optimize_after_n_clicks (=1) clicks
+        clicker.add_click(Click(is_positive=False, coords=(4, 4)))
+        probs = pred.get_prediction(clicker)
+        ious[name] = get_iou(gt, probs > 0.49)
+    # the oracle objective directly optimizes agreement with GT
+    assert ious["oracle"] >= ious["plain"] - 1e-6
+    assert len(oracle.history) > 0, "oracle loss never evaluated"

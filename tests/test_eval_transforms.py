@@ -95,3 +95,95 @@ def test_limit_longest_side():
     small = rng.random((1, 40, 60, 3), dtype=np.float32)
     out2, _ = t.transform(small, [[]])
     assert out2.shape == small.shape  # untouched below the limit
+
+def _probe_model(hw):
+    import jax
+
+    from isegprobe_tpu.models.probe_model import iSegProbeModel
+
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=hw, patch_size=(14, 14), embed_dim=384),
+        ),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1, num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        use_disks=True, norm_radius=5, with_prev_mask=True, attn_impl="jnp",
+    )
+    img = np.zeros((1, *hw, 4), np.float32)
+    pts = np.full((1, 8, 3), -1.0, np.float32)
+    params = model.init(jax.random.PRNGKey(0), img, pts)["params"]
+    return model, params
+
+
+def _scene(hw, box):
+    rng = np.random.default_rng(0)
+    img = (rng.random((*hw, 3)) * 70).astype(np.uint8)
+    gt = np.zeros(hw, np.int32)
+    y0, y1, x0, x1 = box
+    gt[y0:y1, x0:x1] = 1
+    img[gt == 1] = [185, 175, 85]
+    return img, gt
+
+
+def _drive_protocol(predictor, img, gt, n_clicks=3):
+    from isegprobe_tpu.inference.clicker import Clicker
+
+    predictor.set_input_image(img)
+    clicker = Clicker(gt_mask=gt)
+    mask = np.zeros_like(gt, bool)
+    probs = None
+    for _ in range(n_clicks):
+        clicker.make_next_click(mask)
+        probs = predictor.get_prediction(clicker)
+        assert probs.shape == gt.shape
+        mask = probs > 0.49
+    return probs, clicker
+
+
+def test_limit_longest_side_through_predictor():
+    """LimitLongestSide must downscale the net input while the protocol keeps
+    operating at the original resolution (ref: limit_longest_side.py:12-32)."""
+    from isegprobe_tpu.inference.predictor import TransformChainPredictor
+    from isegprobe_tpu.inference.transforms import (
+        LimitLongestSide,
+        SigmoidForPred,
+    )
+
+    hw = (84, 126)  # longest side 126 > limit 70 -> resized to 70-wide net in
+    model, params = _probe_model((56, 84))
+    limiter = LimitLongestSide(max_size=70)
+    pred = TransformChainPredictor(
+        model, params, transforms=[limiter, SigmoidForPred()],
+        net_clicks_limit=4,
+    )
+    img, gt = _scene(hw, (20, 64, 30, 100))
+    probs, clicker = _drive_protocol(pred, img, gt)
+    assert limiter.image_changed, "limiter never resized"
+    assert np.isfinite(probs).all() and 0 <= probs.min() <= probs.max() <= 1
+    # clicks stay in original coordinates
+    for c in clicker.clicks_list:
+        assert 0 <= c.coords[0] < hw[0] and 0 <= c.coords[1] < hw[1]
+
+
+def test_crops_through_predictor():
+    """Tiled Crops: multi-crop batching + count-averaged stitching drives a
+    full click protocol end-to-end (ref: crops.py:14-117)."""
+    from isegprobe_tpu.inference.predictor import TransformChainPredictor
+    from isegprobe_tpu.inference.transforms import Crops, SigmoidForPred
+
+    hw = (84, 112)
+    model, params = _probe_model((56, 56))
+    crops = Crops(crop_size=(56, 56), min_overlap=0.2)
+    pred = TransformChainPredictor(
+        model, params, transforms=[crops, SigmoidForPred()],
+        net_clicks_limit=4,
+    )
+    img, gt = _scene(hw, (20, 64, 28, 84))
+    probs, _ = _drive_protocol(pred, img, gt)
+    assert crops.x_offsets is not None and len(crops.x_offsets) >= 2
+    assert probs.shape == hw
+    assert np.isfinite(probs).all() and 0 <= probs.min() <= probs.max() <= 1

@@ -39,6 +39,7 @@ from isegprobe_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     process_is_master,
+    reduce_loss_dict,
     replicate,
 )
 from isegprobe_tpu.training.optim import make_optimizer, multistep_lr
@@ -115,8 +116,10 @@ def get_next_points_device(
 class iSegTrainer:
     """Epoch loop with on-device iterative click simulation.
 
-    Mirrors the reference constructor surface (trainer.py:30-53); torch-only
-    arguments (click_models, net_inputs) are accepted for config parity.
+    Mirrors the reference constructor surface (trainer.py:30-53).
+    ``click_models`` — a list of params state-dicts — makes simulation
+    iteration k run the k-th eval model (reference: trainer.py:410-415);
+    ``net_inputs`` is accepted for config parity.
     """
 
     def __init__(
@@ -215,6 +218,14 @@ class iSegTrainer:
             loaded, _, _ = load_checkpoint(cfg.training.weights)
             params = merge_params(params, loaded)
 
+        # click-wise eval ensembles for the training simulation (reference:
+        # trainer.py:173-175, 410-415): iteration k of the no-grad click loop
+        # runs click_models[k] (params state-dicts merged over the init)
+        self._click_trees = tuple(
+            replicate(merge_params(dict(params), cm), self.mesh)
+            for cm in (click_models or ())
+        )
+
         trainable, frozen = split_params(params)
         self.params = replicate({"trainable": trainable, "frozen": frozen},
                                 self.mesh)
@@ -290,9 +301,12 @@ class iSegTrainer:
             logging_out["instance_aux_loss"] = aux_loss
         return total, logging_out
 
-    def _simulate_clicks(self, params_full, batch, rng, num_iters):
+    def _simulate_clicks(self, params_full, batch, rng, num_iters,
+                         click_trees=()):
         """Iterative click refinement (reference: trainer.py:399-442), as a
-        bounded fori_loop with masking — no data-dependent Python control."""
+        bounded fori_loop with masking — no data-dependent Python control.
+        With ``click_trees`` the loop unrolls statically so iteration k can
+        run a different (per-click-count) eval model."""
         images, points = batch["images"], batch["points"]
         gt = batch["instances"]
         b = images.shape[0]
@@ -301,13 +315,14 @@ class iSegTrainer:
         if self.max_num_next_clicks == 0:
             return prev, points, rng
 
-        def body(i, carry):
+        def body(i, carry, eval_params=None):
             prev, points, rng = carry
 
             def do(args):
                 prev, points, rng = args
                 rng, k = jax.random.split(rng)
-                out = self._forward(params_full, images, prev, points)
+                out = self._forward(eval_params if eval_params is not None
+                                    else params_full, images, prev, points)
                 prob = jax.nn.sigmoid(out["instances"])
                 points = get_next_points_device(prob, gt, points, i + 1, k)
                 return prob, points, rng
@@ -315,9 +330,18 @@ class iSegTrainer:
             return jax.lax.cond(i < num_iters, do, lambda a: a,
                                 (prev, points, rng))
 
-        prev, points, rng = jax.lax.fori_loop(
-            0, self.max_num_next_clicks, body, (prev, points, rng)
-        )
+        if click_trees:
+            carry = (prev, points, rng)
+            for i in range(self.max_num_next_clicks):
+                tree = (click_trees[i] if i < len(click_trees)
+                        else params_full)
+                carry = body(i, carry, eval_params=tree)
+            prev, points, rng = carry
+        else:
+            prev, points, rng = jax.lax.fori_loop(
+                0, self.max_num_next_clicks,
+                lambda i, c: body(i, c), (prev, points, rng)
+            )
 
         if self.prev_mask_drop_prob > 0:
             rng, k = jax.random.split(rng)
@@ -328,12 +352,12 @@ class iSegTrainer:
         return prev, points, rng
 
     def _step(self, params, opt_state, batch, rng, num_iters, iou_thresh=0.4,
-              iou_step=0.025, training=True):
+              iou_step=0.025, click_trees=(), training=True):
         frozen = jax.lax.stop_gradient(params["frozen"])
 
         full0 = {**params["trainable"], **frozen}
         prev, points, rng = self._simulate_clicks(
-            jax.lax.stop_gradient(full0), batch, rng, num_iters
+            jax.lax.stop_gradient(full0), batch, rng, num_iters, click_trees
         )
         batch = dict(batch, points=points)
 
@@ -413,13 +437,19 @@ class iSegTrainer:
             (self.params, self.opt_state, loss, logging_out, iou_stats,
              vis_payload) = (
                 self._train_step(self.params, self.opt_state, batch, step_rng,
-                                 num_iters, thr)
+                                 num_iters, thr,
+                                 click_trees=self._click_trees)
             )
 
             loss_val = float(loss)
             train_loss += loss_val
             if self.sw is not None:
-                for k, v in logging_out.items():
+                # cross-process mean for logging (ref: distributed.py:31-53);
+                # identity in a single-process world
+                logged = reduce_loss_dict(
+                    {k: float(v) for k, v in logging_out.items()}
+                )
+                for k, v in logged.items():
                     self.sw.add_scalar(f"Losses/{k}", float(v), global_step)
                 self.sw.add_scalar(
                     "States/learning_rate",
@@ -458,7 +488,8 @@ class iSegTrainer:
             num_iters = pyrandom.randint(0, self.max_num_next_clicks)
             thr = self.val_metrics[0].iou_thresh if self.val_metrics else 0.4
             _, _, loss, _, iou_stats, _ = self._val_step(
-                self.params, self.opt_state, batch, step_rng, num_iters, thr
+                self.params, self.opt_state, batch, step_rng, num_iters, thr,
+                click_trees=self._click_trees,
             )
             val_loss += float(loss)
             count += 1

@@ -132,3 +132,41 @@ def test_get_next_points_device_places_click_in_error_region():
         assert gt[b, int(y), int(x), 0] == 1.0, "positive click must be inside FN"
     # other rows untouched
     assert (new_pts[:, : n - 1] == -1).all()
+
+
+def test_trainer_click_models_simulation(model, tmp_path):
+    """Iteration k of the click simulation runs click_models[k]
+    (reference: trainer.py:173-175,410-415)."""
+    import numpy as _np
+
+    loss_cfg = {"instance_loss": NormalizedFocalLossSigmoid(alpha=0.5, gamma=2),
+                "instance_loss_weight": 1.0}
+    ds = TinyDataset()
+    base = iSegTrainer(
+        model, _cfg(tmp_path), loss_cfg, ds, ds,
+        max_interactive_points=3, max_num_next_clicks=2, seed=0,
+    )
+    # a divergent eval model: random head params from another seed
+    img = jnp.zeros((1, 28, 28, 4), jnp.float32)
+    pts = jnp.full((1, 6, 3), -1.0, jnp.float32)
+    other = model.init(jax.random.PRNGKey(99), img, pts)["params"]
+    ens = iSegTrainer(
+        model, _cfg(tmp_path), loss_cfg, ds, ds,
+        max_interactive_points=3, max_num_next_clicks=2, seed=0,
+        click_models=[{"head": other["head"]}],
+    )
+    assert len(ens._click_trees) == 1
+
+    batch = ens._prep_batch(next(iter(ens.train_data)))
+    rng = jax.random.PRNGKey(0)
+    *_, (stats_e, _), _vis = ens._val_step(
+        ens.params, ens.opt_state, batch, rng, 2, 0.4,
+        click_trees=ens._click_trees,
+    )
+    *_, (stats_b, _), _visb = base._val_step(
+        base.params, base.opt_state, batch, rng, 2, 0.4,
+    )
+    # different eval models pick different corrective clicks -> the final
+    # forward (same weights) sees different point tensors
+    assert _np.isfinite(_np.asarray(stats_e)).all()
+    assert not _np.allclose(_np.asarray(stats_e), _np.asarray(stats_b))

@@ -1,10 +1,18 @@
-"""Standard evaluation/training dataset loaders (reference:
-core/data/datasets/{grabcut,berkeley,davis,sbd,pascalvoc}.py)."""
+"""Standard evaluation/training dataset loaders.
+
+Behavior spec: reference core/data/datasets/{grabcut,berkeley,davis,sbd,
+pascalvoc}.py — the on-disk formats dictate the parsing, but the structure
+here is shared: folder datasets (GrabCut / Berkeley / DAVIS / COCO-MVal) are
+one ``_PairedFolderDataset`` that pairs an image directory with a mask
+directory by file stem and delegates decoding to a per-format ``_decode_mask``
+classmethod; SBD variants share the .mat loading and an instance-index cache.
+"""
 
 from __future__ import annotations
 
 import pickle as pkl
 from pathlib import Path
+from typing import List, Tuple
 
 import cv2
 import numpy as np
@@ -14,183 +22,202 @@ from isegprobe_tpu.data.sample import DSample
 from isegprobe_tpu.utils.misc import get_bbox_from_mask, get_labels_with_sizes
 
 
-def _read_rgb(path: str) -> np.ndarray:
-    image = cv2.imread(path)
-    return cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+def _read_rgb(path) -> np.ndarray:
+    return cv2.cvtColor(cv2.imread(str(path)), cv2.COLOR_BGR2RGB)
 
 
-class GrabCutDataset(iSegBaseDataset):
-    """GrabCut: gray-128 pixels are ignore regions (grabcut.py:12-42)."""
+class _PairedFolderDataset(iSegBaseDataset):
+    """<root>/<images_dir>/x.jpg paired with <root>/<masks_dir>/x.* by stem."""
 
-    def __init__(self, dataset_path, images_dir_name="data_GT",
-                 masks_dir_name="boundary_GT", **kwargs) -> None:
+    IMAGES_DIR = "img"
+    MASKS_DIR = "gt"
+
+    def __init__(self, dataset_path, images_dir_name=None, masks_dir_name=None,
+                 **kwargs) -> None:
         super().__init__(**kwargs)
-        self.dataset_path = Path(dataset_path)
-        self._images_path = self.dataset_path / images_dir_name
-        self._insts_path = self.dataset_path / masks_dir_name
-        self.dataset_samples = [x.name for x in sorted(self._images_path.glob("*.*"))]
-        self._masks_paths = {x.stem: x for x in self._insts_path.glob("*.*")}
+        root = Path(dataset_path)
+        self.dataset_path = root
+        self._images_path = root / (images_dir_name or self.IMAGES_DIR)
+        self._insts_path = root / (masks_dir_name or self.MASKS_DIR)
+        self.dataset_samples = sorted(
+            p.name for p in self._images_path.glob("*.*")
+        )
+        self._masks_by_stem = {p.stem: p for p in self._insts_path.glob("*.*")}
 
     def get_sample(self, index: int) -> DSample:
-        image_name = self.dataset_samples[index]
-        image = _read_rgb(str(self._images_path / image_name))
-        mask_path = str(self._masks_paths[image_name.split(".")[0]])
-        instances_mask = cv2.imread(mask_path)[:, :, 0].astype(np.int32)
-        instances_mask[instances_mask == 128] = -1
-        instances_mask[instances_mask > 128] = 1
-        return DSample(image, instances_mask, objects_ids=[1], ignore_ids=[-1],
-                       sample_id=index)
+        name = self.dataset_samples[index]
+        image = _read_rgb(self._images_path / name)
+        raw = cv2.imread(str(self._masks_by_stem[name.split(".")[0]]))
+        mask, object_ids, ignore_ids = self._decode_mask(raw)
+        return DSample(image, mask, objects_ids=object_ids,
+                       ignore_ids=ignore_ids, sample_id=index)
+
+    @classmethod
+    def _decode_mask(cls, raw: np.ndarray):
+        raise NotImplementedError
+
+
+class GrabCutDataset(_PairedFolderDataset):
+    """Single object per image; gray-128 pixels are the ignore band
+    (ref grabcut.py:12-42)."""
+
+    IMAGES_DIR = "data_GT"
+    MASKS_DIR = "boundary_GT"
+
+    @classmethod
+    def _decode_mask(cls, raw):
+        mask = raw[:, :, 0].astype(np.int32)
+        mask[mask == 128] = -1
+        mask[mask > 128] = 1
+        return mask, [1], [-1]
 
 
 class BerkeleyDataset(GrabCutDataset):
-    def __init__(self, dataset_path, **kwargs) -> None:
-        super().__init__(dataset_path, images_dir_name="images",
-                         masks_dir_name="masks", **kwargs)
+    """Same encoding as GrabCut in images/ + masks/ (ref berkeley.py:6-10)."""
+
+    IMAGES_DIR = "images"
+    MASKS_DIR = "masks"
 
 
-class DavisDataset(iSegBaseDataset):
-    """DAVIS-585 style layout; also used for COCO_MVal (davis.py:12-39)."""
+class DavisDataset(_PairedFolderDataset):
+    """DAVIS-585 layout; any colored pixel is the object. Also serves
+    COCO_MVal, which ships the same structure (ref davis.py:12-39)."""
 
-    def __init__(self, dataset_path, images_dir_name="img", masks_dir_name="gt",
-                 **kwargs) -> None:
-        super().__init__(**kwargs)
-        self.dataset_path = Path(dataset_path)
-        self._images_path = self.dataset_path / images_dir_name
-        self._insts_path = self.dataset_path / masks_dir_name
-        self.dataset_samples = [x.name for x in sorted(self._images_path.glob("*.*"))]
-        self._masks_paths = {x.stem: x for x in self._insts_path.glob("*.*")}
-
-    def get_sample(self, index: int) -> DSample:
-        image_name = self.dataset_samples[index]
-        image = _read_rgb(str(self._images_path / image_name))
-        mask_path = str(self._masks_paths[image_name.split(".")[0]])
-        instances_mask = np.max(cv2.imread(mask_path).astype(np.int32), axis=2)
-        instances_mask[instances_mask > 0] = 1
-        return DSample(image, instances_mask, objects_ids=[1], sample_id=index)
+    @classmethod
+    def _decode_mask(cls, raw):
+        mask = (raw.astype(np.int32).max(axis=2) > 0).astype(np.int32)
+        return mask, [1], None
 
 
-def _load_sbd_mask(inst_info_path: str) -> np.ndarray:
+# ---------------------------------------------------------------------- SBD
+
+
+def _load_sbd_mask(inst_info_path) -> np.ndarray:
     from scipy.io import loadmat
 
-    return loadmat(inst_info_path)["GTinst"][0][0][0].astype(np.int32)
+    return loadmat(str(inst_info_path))["GTinst"][0][0][0].astype(np.int32)
 
 
-class SBDDataset(iSegBaseDataset):
-    """SBD training split with buggy-mask filtering (sbd.py:15-76)."""
+def _thin_object_ids(mask: np.ndarray, fill_thresh: float) -> List[int]:
+    """Instance labels whose bbox fill rate is below `fill_thresh` — SBD's
+    known buggy sliver annotations (ref sbd.py:57-76)."""
+    thin = []
+    for obj_id in get_labels_with_sizes(mask)[0]:
+        obj = mask == obj_id
+        r0, r1, c0, c1 = get_bbox_from_mask(obj)
+        if obj.sum() < fill_thresh * (r1 - r0 + 1) * (c1 - c0 + 1):
+            thin.append(obj_id)
+    return thin
+
+
+class _SBDBase(iSegBaseDataset):
+    def __init__(self, dataset_path, split="train", **kwargs) -> None:
+        super().__init__(**kwargs)
+        assert split in {"train", "val"}
+        self.dataset_path = Path(dataset_path)
+        self.dataset_split = split
+        self._images_path = self.dataset_path / "img"
+        self._insts_path = self.dataset_path / "inst"
+        self.dataset_samples = (
+            (self.dataset_path / f"{split}.txt").read_text().split()
+        )
+
+    def _load_pair(self, name: str) -> Tuple[np.ndarray, np.ndarray]:
+        return (_read_rgb(self._images_path / f"{name}.jpg"),
+                _load_sbd_mask(self._insts_path / f"{name}.mat"))
+
+
+class SBDDataset(_SBDBase):
+    """SBD training split; thin buggy instances are scrubbed (cached per
+    index) before sampling (ref sbd.py:15-76)."""
 
     def __init__(self, dataset_path, split="train", buggy_mask_thresh=0.08,
                  **kwargs) -> None:
-        super().__init__(**kwargs)
-        assert split in {"train", "val"}
-        self.dataset_path = Path(dataset_path)
-        self.dataset_split = split
-        self._images_path = self.dataset_path / "img"
-        self._insts_path = self.dataset_path / "inst"
-        self._buggy_objects = {}
+        super().__init__(dataset_path, split, **kwargs)
         self._buggy_mask_thresh = buggy_mask_thresh
-        with open(self.dataset_path / f"{split}.txt") as f:
-            self.dataset_samples = [x.strip() for x in f.readlines()]
+        self._thin_cache = {}
 
     def get_sample(self, index: int) -> DSample:
-        image_name = self.dataset_samples[index]
-        image = _read_rgb(str(self._images_path / f"{image_name}.jpg"))
-        instances_mask = _load_sbd_mask(str(self._insts_path / f"{image_name}.mat"))
-        instances_mask = self.remove_buggy_masks(index, instances_mask)
-        instances_ids, _ = get_labels_with_sizes(instances_mask)
-        return DSample(image, instances_mask, objects_ids=instances_ids,
+        image, mask = self._load_pair(self.dataset_samples[index])
+        if self._buggy_mask_thresh > 0:
+            if index not in self._thin_cache:
+                self._thin_cache[index] = _thin_object_ids(
+                    mask, self._buggy_mask_thresh
+                )
+            for obj_id in self._thin_cache[index]:
+                mask[mask == obj_id] = 0
+        return DSample(image, mask,
+                       objects_ids=get_labels_with_sizes(mask)[0],
                        sample_id=index)
 
-    def remove_buggy_masks(self, index: int, instances_mask: np.ndarray):
-        if self._buggy_mask_thresh > 0.0:
-            buggy_image_objects = self._buggy_objects.get(index)
-            if buggy_image_objects is None:
-                buggy_image_objects = []
-                instances_ids, _ = get_labels_with_sizes(instances_mask)
-                for obj_id in instances_ids:
-                    obj_mask = instances_mask == obj_id
-                    bbox = get_bbox_from_mask(obj_mask)
-                    bbox_area = (bbox[1] - bbox[0] + 1) * (bbox[3] - bbox[2] + 1)
-                    if obj_mask.sum() / bbox_area < self._buggy_mask_thresh:
-                        buggy_image_objects.append(obj_id)
-                self._buggy_objects[index] = buggy_image_objects
-            for obj_id in buggy_image_objects:
-                instances_mask[instances_mask == obj_id] = 0
-        return instances_mask
 
-
-class SBDEvaluationDataset(iSegBaseDataset):
-    """Per-instance flattening of SBD with a pickle cache (sbd.py:79-131)."""
+class SBDEvaluationDataset(_SBDBase):
+    """SBD eval protocol: one entry per (image, instance) pair, flattened once
+    and cached as a pickle beside the split list (ref sbd.py:79-131)."""
 
     def __init__(self, dataset_path, split="val", **kwargs) -> None:
-        super().__init__(**kwargs)
-        assert split in {"train", "val"}
-        self.dataset_path = Path(dataset_path)
-        self.dataset_split = split
-        self._images_path = self.dataset_path / "img"
-        self._insts_path = self.dataset_path / "inst"
-        with open(self.dataset_path / f"{split}.txt") as f:
-            self.dataset_samples = [x.strip() for x in f.readlines()]
-        self.dataset_samples = self.get_sbd_images_and_ids_list()
+        super().__init__(dataset_path, split, **kwargs)
+        self.dataset_samples = self._instance_index()
 
     def get_sample(self, index: int) -> DSample:
-        image_name, instance_id = self.dataset_samples[index]
-        image = _read_rgb(str(self._images_path / f"{image_name}.jpg"))
-        instances_mask = _load_sbd_mask(str(self._insts_path / f"{image_name}.mat"))
-        instances_mask[instances_mask != instance_id] = 0
-        instances_mask[instances_mask > 0] = 1
-        return DSample(image, instances_mask, objects_ids=[1], sample_id=index)
+        name, instance_id = self.dataset_samples[index]
+        image, mask = self._load_pair(name)
+        binary = (mask == instance_id).astype(np.int32)
+        return DSample(image, binary, objects_ids=[1], sample_id=index)
 
-    def get_sbd_images_and_ids_list(self):
-        pkl_path = self.dataset_path / f"{self.dataset_split}_images_and_ids_list.pkl"
-        if pkl_path.exists():
-            with open(str(pkl_path), "rb") as fp:
-                return pkl.load(fp)
-        images_and_ids_list = []
-        for sample in self.dataset_samples:
-            instances_mask = _load_sbd_mask(str(self._insts_path / f"{sample}.mat"))
-            instances_ids, _ = get_labels_with_sizes(instances_mask)
-            for instance_id in instances_ids:
-                images_and_ids_list.append((sample, instance_id))
-        with open(str(pkl_path), "wb") as fp:
-            pkl.dump(images_and_ids_list, fp)
-        return images_and_ids_list
+    def _instance_index(self) -> List[Tuple[str, int]]:
+        cache = (self.dataset_path /
+                 f"{self.dataset_split}_images_and_ids_list.pkl")
+        if cache.exists():
+            return pkl.loads(cache.read_bytes())
+        index = [
+            (name, obj_id)
+            for name in self.dataset_samples
+            for obj_id in get_labels_with_sizes(
+                _load_sbd_mask(self._insts_path / f"{name}.mat")
+            )[0]
+        ]
+        cache.write_bytes(pkl.dumps(index))
+        return index
 
 
 class PascalVocDataset(iSegBaseDataset):
-    """(pascalvoc.py:13-60); label 220 marks ignore boundaries."""
+    """Pascal VOC SegmentationObject; label 220 marks the ignore boundary
+    (ref pascalvoc.py:13-60). The test split enumerates (image, instance)
+    pairs from a distributed pickle."""
 
     def __init__(self, dataset_path, split="train", **kwargs) -> None:
         super().__init__(**kwargs)
         assert split in {"train", "val", "trainval", "test"}
-        self.dataset_path = Path(dataset_path)
-        self._images_path = self.dataset_path / "JPEGImages"
-        self._insts_path = self.dataset_path / "SegmentationObject"
+        root = Path(dataset_path)
+        self.dataset_path = root
         self.dataset_split = split
+        self._images_path = root / "JPEGImages"
+        self._insts_path = root / "SegmentationObject"
+        sets = root / "ImageSets/Segmentation"
         if split == "test":
-            with open(self.dataset_path / "ImageSets/Segmentation/test.pickle",
-                      "rb") as f:
-                self.dataset_samples, self.instance_ids = pkl.load(f)
+            self.dataset_samples, self.instance_ids = pkl.loads(
+                (sets / "test.pickle").read_bytes()
+            )
         else:
-            with open(self.dataset_path / f"ImageSets/Segmentation/{split}.txt") as f:
-                self.dataset_samples = [name.strip() for name in f.readlines()]
+            self.dataset_samples = (sets / f"{split}.txt").read_text().split()
 
     def get_sample(self, index: int) -> DSample:
-        sample_id = self.dataset_samples[index]
-        image = _read_rgb(str(self._images_path / f"{sample_id}.jpg"))
-        instances_mask = cv2.imread(str(self._insts_path / f"{sample_id}.png"))
-        instances_mask = cv2.cvtColor(instances_mask, cv2.COLOR_BGR2GRAY).astype(
-            np.int32
-        )
+        name = self.dataset_samples[index]
+        image = _read_rgb(self._images_path / f"{name}.jpg")
+        labels = cv2.cvtColor(
+            cv2.imread(str(self._insts_path / f"{name}.png")),
+            cv2.COLOR_BGR2GRAY,
+        ).astype(np.int32)
+
         if self.dataset_split == "test":
-            instance_id = self.instance_ids[index]
-            mask = np.zeros_like(instances_mask)
-            mask[instances_mask == 220] = 220
-            mask[instances_mask == instance_id] = 1
-            objects_ids = [1]
-            instances_mask = mask
+            wanted = self.instance_ids[index]
+            mask = np.where(labels == 220, 220, 0)
+            mask[labels == wanted] = 1
+            object_ids = [1]
         else:
-            objects_ids = [
-                int(x) for x in np.unique(instances_mask) if x not in (0, 220)
-            ]
-        return DSample(image, instances_mask, objects_ids=objects_ids,
-                       ignore_ids=[220], sample_id=index)
+            mask = labels
+            object_ids = [int(v) for v in np.unique(labels)
+                          if v not in (0, 220)]
+        return DSample(image, mask, objects_ids=object_ids, ignore_ids=[220],
+                       sample_id=index)

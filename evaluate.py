@@ -20,7 +20,6 @@ from isegprobe_tpu.inference.metrics import (
     get_time_metrics,
     miou_at_k,
 )
-from isegprobe_tpu.inference.predictor import TPUPredictor
 from isegprobe_tpu.utils.config import load_config, load_yaml
 from isegprobe_tpu.utils.serialization import (
     build_model,
@@ -83,7 +82,12 @@ def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     import jax
 
     params, config, _ = load_checkpoint(checkpoint_path)
-    model = build_model(config)
+    # dtype=bfloat16 runs the compute path one-pass on the MXU (~1.6x faster
+    # clicks); f32 stays the default for exact NoC parity (BASELINE.md)
+    dtype_name = str(eval_cfg.get("dtype", "float32"))
+    import jax.numpy as jnp
+
+    model = build_model(config, dtype=getattr(jnp, dtype_name))
     # fresh init (frozen/pretrained modules), overlaid with the checkpoint
     h, w = target_size
     n_ch = 4 if config["params"].get("with_prev_mask") else 3

@@ -1,0 +1,45 @@
+"""
+Synthetic-shapes training demo of the DINO "vit" featurizer (key probing).
+Backbone: ViT (DINO trunk, timm weights) | Click encoder: PatchEmbed
+Upsampler: Identity | Injection: before backbone.
+(reference: models/sbd/vit/patch-embed_noup.py)
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from models.common import default_save_cfg, make_main  # noqa: E402
+from models.defaults import get_synthetic_train_val_datasets  # noqa: E402
+
+MODEL_NAME = "synthetic_vit_noup_convhead_patchembed_earlyinject_224"
+ARCHITECTURE = "backbone_upsampler_head"
+
+
+def define_modules_cfg(cfg):
+    return {
+        "backbone": dict(
+            type="vit",
+            params=dict(
+                arch="vit_small_patch16_224",
+                patch_size=16,
+                feat_type="key",
+                feats_injection_mode="before_backbone",
+            ),
+        ),
+        "embed_coords": dict(
+            type="patchEmbed",
+            params=dict(img_size=cfg.training_params.crop_size,
+                        patch_size=(16, 16), embed_dim=384),
+        ),
+        "head": dict(type="convhead",
+                     params=dict(in_channels=384, num_layers=2, num_classes=1)),
+        "upsampler": dict(type="identity", params=dict()),
+        "neck": None,
+        "save": default_save_cfg(),
+        "architecture": ARCHITECTURE,
+    }
+
+
+main = make_main(define_modules_cfg, dataset_fn=get_synthetic_train_val_datasets)

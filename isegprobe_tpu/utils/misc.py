@@ -61,10 +61,15 @@ def get_bbox_iou(b1: Bbox, b2: Bbox) -> float:
 
 
 def get_labels_with_sizes(x: np.ndarray):
-    obj_sizes = np.bincount(x.flatten())
-    labels = np.nonzero(obj_sizes)[0].tolist()
-    labels = [v for v in labels if v != 0]
-    return labels, obj_sizes[labels].tolist()
+    """Positive instance labels present in a mask and their pixel counts.
+
+    Background (0) and ignore regions (negative labels, e.g. GrabCut's -1)
+    are never objects — the reference's bare bincount would crash on the
+    latter (core/utils/misc.py:30-34 only ever sees non-negative masks)."""
+    instances = x.reshape(-1)
+    counts = np.bincount(instances[instances > 0])
+    labels = np.nonzero(counts)[0]
+    return labels.tolist(), counts[labels].tolist()
 
 
 def seed_all(seed: int) -> None:

@@ -9,17 +9,16 @@ import numpy as np
 
 
 def get_palette(num_cls: int) -> np.ndarray:
-    """Bit-interleaved color palette (the standard VOC palette)."""
-    palette = np.zeros(3 * num_cls, dtype=np.int32)
-    for j in range(num_cls):
-        lab, i = j, 0
-        while lab > 0:
-            palette[j * 3 + 0] |= ((lab >> 0) & 1) << (7 - i)
-            palette[j * 3 + 1] |= ((lab >> 1) & 1) << (7 - i)
-            palette[j * 3 + 2] |= ((lab >> 2) & 1) << (7 - i)
-            i += 1
-            lab >>= 3
-    return palette.reshape((-1, 3))
+    """Standard VOC bit-interleaved palette, vectorized: channel c of label j
+    collects j's bits (3i + c) into descending output bit positions."""
+    ids = np.arange(num_cls, dtype=np.int64)
+    palette = np.zeros((num_cls, 3), dtype=np.int32)
+    for i in range(8):
+        for ch in range(3):
+            palette[:, ch] |= (((ids >> (3 * i + ch)) & 1) << (7 - i)).astype(
+                np.int32
+            )
+    return palette
 
 
 def draw_probmap(x: np.ndarray) -> np.ndarray:

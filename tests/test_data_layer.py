@@ -176,3 +176,17 @@ def test_multihost_rank_striding():
     loaders[0].set_epoch(4)
     other = [int(b["x"][i, 0]) for b in loaders[0] for i in range(2)]
     assert other != shards[0]
+
+
+def test_dsample_with_negative_ignore_labels():
+    """GrabCut-style masks carry -1 ignore regions; area accounting must
+    ignore them instead of crashing (bincount rejects negatives)."""
+    img = np.zeros((32, 32, 3), np.uint8)
+    mask = np.zeros((32, 32), np.int32)
+    mask[5:20, 5:20] = 1
+    mask[0:3, 0:3] = -1
+    s = DSample(img, mask, objects_ids=[1], ignore_ids=[-1])
+    assert s.objects_ids == [0]  # internal node id for the single object
+    assert s.nodes[0].area == 15 * 15
+    gt = s.gt_mask(0)
+    assert (gt == -1).sum() == 9 and (gt == 1).sum() == 15 * 15

@@ -24,8 +24,9 @@ N_WARMUP = 3
 N_CLICKS = 30
 
 
-def build_predictor():
+def build_predictor(dtype=None):
     import jax
+    import jax.numpy as jnp
 
     from isegprobe_tpu.inference.predictor import TPUPredictor
     from isegprobe_tpu.models.probe_model import iSegProbeModel
@@ -43,6 +44,7 @@ def build_predictor():
         use_disks=True,
         norm_radius=5,
         with_prev_mask=True,
+        dtype=dtype or jnp.float32,
     )
     image = np.zeros((1, 448, 448, 4), dtype=np.float32)
     points = np.full((1, 40, 3), -1.0, dtype=np.float32)
@@ -72,7 +74,8 @@ def forward_gflops(target: int = 448, embed_dim: int = 384, depth: int = 12,
     return 2 * (vit + head) / 1e9  # x2 for the flip pair
 
 
-def measure_ours(target=(448, 448), sample_hw=(480, 640), repeats=None):
+def measure_ours(target=(448, 448), sample_hw=(480, 640), repeats=None,
+                 dtype=None):
     """Per-sample wall times of the fully on-device NoC loop (one dispatch per
     sample; protocol-parity-tested against the host clicker+predictor path in
     tests/test_device_eval.py). Returns (per_click_times, n_clicks)."""
@@ -81,7 +84,7 @@ def measure_ours(target=(448, 448), sample_hw=(480, 640), repeats=None):
         make_device_evaluator,
     )
 
-    predictor = build_predictor()
+    predictor = build_predictor(dtype)
     img, gt = synthetic_sample(sample_hw)
     run = make_device_evaluator(
         predictor.model, target_size=target, max_clicks=20,
@@ -177,6 +180,10 @@ def main():
     p95_ms = float(np.percentile(times, 95) * 1000)
     davis_times = measure_ours(sample_hw=(480, 854), repeats=2)
     davis_ms = float(np.median(davis_times) * 1000)
+    import jax.numpy as jnp
+
+    bf16_times = measure_ours(repeats=1, dtype=jnp.bfloat16)
+    bf16_ms = float(np.median(bf16_times) * 1000)
     clicks_per_s = measure_batched_throughput(8)
     baseline_s = measure_torch_baseline()
     vs = (baseline_s * 1000 / p50_ms) if np.isfinite(baseline_s) else None
@@ -191,6 +198,7 @@ def main():
         "p95_ms": round(p95_ms, 3),
         "davis_scale_p50_ms": round(davis_ms, 3),
         "batched_clicks_per_s": round(clicks_per_s, 1),
+        "bf16_p50_ms": round(bf16_ms, 3),
         "mfu_f32_pct": round(mfu_f32, 2),
     }))
 

@@ -257,17 +257,12 @@ def jbu_filter_xla(hr, proj, temp, sigma):
 
 
 @jax.custom_vjp
-def jbu_filter_fused(hr, proj, temp, sigma):
-    """Fused Pallas forward with an XLA-composition backward: the kernel has
-    no VJP of its own, but training differentiates *through* the upsampler
-    (loss -> head -> upsampler -> backbone -> click encoder), so the backward
-    recomputes via the numerically-identical unfused form (on-device parity
-    ~1e-6, scripts/bench_jbu.py)."""
+def _jbu_fused_core(hr, proj, temp, sigma):
     return jbu_filter_pallas(hr, proj, temp, sigma)
 
 
 def _jbu_fused_fwd(hr, proj, temp, sigma):
-    return jbu_filter_fused(hr, proj, temp, sigma), (hr, proj, temp, sigma)
+    return _jbu_fused_core(hr, proj, temp, sigma), (hr, proj, temp, sigma)
 
 
 def _jbu_fused_bwd(residuals, g):
@@ -275,4 +270,38 @@ def _jbu_fused_bwd(residuals, g):
     return vjp(g.astype(jnp.float32))
 
 
-jbu_filter_fused.defvjp(_jbu_fused_fwd, _jbu_fused_bwd)
+_jbu_fused_core.defvjp(_jbu_fused_fwd, _jbu_fused_bwd)
+
+
+@jax.custom_batching.custom_vmap
+def jbu_filter_fused(hr, proj, temp, sigma):
+    """Fused Pallas forward with an XLA-composition backward: the kernel has
+    no VJP of its own, but training differentiates *through* the upsampler
+    (loss -> head -> upsampler -> backbone -> click encoder), so the backward
+    recomputes via the numerically-identical unfused form (on-device parity
+    ~1e-6, scripts/bench_jbu.py).
+
+    vmap folds the mapped axis into the kernel's native batch grid dimension
+    (the default pallas batching rule can't block ANY-memspace operands) —
+    this is what lets the batched device evaluator vmap whole JBU models."""
+    return _jbu_fused_core(hr, proj, temp, sigma)
+
+
+@jbu_filter_fused.def_vmap
+def _jbu_fused_vmap(axis_size, in_batched, hr, proj, temp, sigma):
+    hr_b, proj_b, temp_b, sigma_b = in_batched
+    if temp_b or sigma_b or not (hr_b and proj_b):
+        # unusual batching (per-lane params) — fall back to the unfused form
+        out = jax.vmap(jbu_filter_xla)(
+            hr if hr_b else jnp.broadcast_to(hr, (axis_size, *hr.shape)),
+            proj if proj_b else jnp.broadcast_to(proj,
+                                                 (axis_size, *proj.shape)),
+            temp if temp_b else jnp.broadcast_to(temp, (axis_size,)),
+            sigma if sigma_b else jnp.broadcast_to(sigma, (axis_size,)),
+        )
+        return out, True
+    v, b, h, w, c = hr.shape
+    k = proj.shape[-1]
+    out = _jbu_fused_core(hr.reshape(v * b, h, w, c),
+                          proj.reshape(v * b, h, w, k), temp, sigma)
+    return out.reshape(v, b, h, w, c), True

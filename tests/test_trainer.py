@@ -170,3 +170,35 @@ def test_trainer_click_models_simulation(model, tmp_path):
     # forward (same weights) sees different point tensors
     assert _np.isfinite(_np.asarray(stats_e)).all()
     assert not _np.allclose(_np.asarray(stats_e), _np.asarray(stats_b))
+
+
+def test_resume_from_checkpoint_continues_training(model, tmp_path):
+    """Checkpoint -> fresh trainer with training.weights -> parameters load
+    and training continues from them (reference: trainer.py:550-570)."""
+    loss_cfg = {"instance_loss": NormalizedFocalLossSigmoid(alpha=0.5, gamma=2),
+                "instance_loss_weight": 1.0}
+    ds = TinyDataset()
+
+    first = iSegTrainer(model, _cfg(tmp_path), loss_cfg, ds, ds,
+                        optimizer="adam", optimizer_params={"lr": 1e-3},
+                        seed=3)
+    first.training(0)
+    saved = jax.device_get(first.params)["trainable"]
+
+    cfg2 = _cfg(tmp_path)
+    cfg2.training.weights = str(tmp_path / "ckpts" / "last_checkpoint.ckpt")
+    resumed = iSegTrainer(model, cfg2, loss_cfg, ds, ds,
+                          optimizer="adam", optimizer_params={"lr": 1e-3},
+                          seed=3)
+    loaded = jax.device_get(resumed.params)["trainable"]
+    for a, b in zip(jax.tree.leaves(saved["head"]),
+                    jax.tree.leaves(loaded["head"])):
+        np.testing.assert_array_equal(a, b)
+
+    resumed.training(1)  # must keep training from the restored weights
+    after = jax.device_get(resumed.params)["trainable"]
+    assert any(
+        not np.array_equal(a, b)
+        for a, b in zip(jax.tree.leaves(loaded["head"]),
+                        jax.tree.leaves(after["head"]))
+    )

@@ -26,16 +26,23 @@ import jax.numpy as jnp
 def _sample_axis(x: jnp.ndarray, coords: jnp.ndarray, axis: int,
                  lo, hi) -> jnp.ndarray:
     """Linearly interpolate x along `axis` at fractional `coords`, clamping
-    the two taps to [lo, hi] (the valid crop range)."""
+    the two taps to [lo, hi] (the valid crop range).
+
+    Expressed as multiplication by a dynamically-built 2-tap interpolation
+    matrix: gathers along the lane-tiled axis are slow on TPU, while a
+    [out, in] matmul rides the MXU; with exactly two weighted taps per row
+    the result is bit-identical to the gather-lerp form."""
     c0 = jnp.clip(jnp.floor(coords), lo, hi)
     c1 = jnp.clip(c0 + 1, lo, hi)
     w = jnp.clip(coords - c0, 0.0, 1.0)
-    x0 = jnp.take(x, c0.astype(jnp.int32), axis=axis)
-    x1 = jnp.take(x, c1.astype(jnp.int32), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = coords.shape[0]
-    w = w.reshape(shape)
-    return x0 * (1.0 - w) + x1 * w
+
+    n = x.shape[axis]
+    src = jnp.arange(n, dtype=jnp.float32)[None, :]
+    interp = (1.0 - w)[:, None] * (src == c0[:, None]) + w[:, None] * (
+        src == c1[:, None]
+    )  # [out, n] with <=2 nonzeros per row
+    out = jnp.tensordot(interp, x, axes=([1], [axis]))
+    return jnp.moveaxis(out, 0, axis)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw",))

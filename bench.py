@@ -49,6 +49,10 @@ def build_predictor(dtype=None):
     image = np.zeros((1, 448, 448, 4), dtype=np.float32)
     points = np.full((1, 40, 3), -1.0, dtype=np.float32)
     params = model.init(jax.random.PRNGKey(0), image, points)["params"]
+    if dtype == jnp.bfloat16:
+        # bf16 weights as well: halves weight HBM traffic (evaluate.py does
+        # the same under eval_cfg.dtype=bfloat16; NoC-neutral, BASELINE.md)
+        params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     return TPUPredictor(model, params, target_size=(448, 448), with_flip=True,
                         net_clicks_limit=20)
 

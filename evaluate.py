@@ -97,6 +97,14 @@ def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     params = merge_params(full, params)
     model, params = interpolate_backbone_pos_embed(model, params, config,
                                                    target_size)
+    if dtype_name == "bfloat16":
+        # halve the weight HBM traffic too — the dominant cost of a
+        # latency-bound batch-2 forward
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
     return model, params
 
 

@@ -226,12 +226,22 @@ def main() -> None:
                 )
 
                 device_batch = int(eval_cfg.get("device_batch", 1))
+                mesh = None
+                if eval_cfg.get("device_mesh", False) and device_batch > 1:
+                    # shard the sample axis over every chip (data axis);
+                    # lanes are independent, so eval scales like DP training
+                    import jax
+
+                    if len(jax.devices()) > 1:
+                        from isegprobe_tpu.parallel.mesh import make_mesh
+
+                        mesh = make_mesh()
                 run = make_device_evaluator(
                     model, target_size=zoomin_params["target_size"],
                     max_clicks=eval_cfg.n_clicks,
                     net_clicks_limit=eval_cfg.clicks_limit or eval_cfg.n_clicks,
                     pred_thr=eval_cfg.thresh, target_iou=eval_cfg.target_iou,
-                    with_flip=True, batch_size=device_batch,
+                    with_flip=True, batch_size=device_batch, mesh=mesh,
                 )
                 t0 = _time()
                 all_ious = evaluate_dataset_device(

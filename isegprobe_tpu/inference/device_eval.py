@@ -84,6 +84,7 @@ def make_device_evaluator(
     min_crop_size: int = 200,
     recompute_thresh_iou: float = 0.5,
     batch_size: int = 1,
+    mesh=None,
 ):
     """Build a jitted ``run(params, image_pad, gt_pad, valid_hw)`` evaluating
     one sample entirely on device. Returns (ious [max_clicks], n_clicks).
@@ -93,7 +94,15 @@ def make_device_evaluator(
     every per-click forward becomes one batch-(2·)B compiled program — small
     448² ViT matmuls batched up onto the MXU instead of dispatched per sample.
     Shapes then gain a leading B: image [B,hp,wp,3], gt [B,hp,wp],
-    valid_hw [B,2] -> (ious [B,max_clicks], n [B])."""
+    valid_hw [B,2] -> (ious [B,max_clicks], n [B]).
+
+    ``mesh`` (with ``batch_size > 1``) shards the sample axis over the mesh's
+    ``data`` axis — dataset NoC evaluation scales across chips the same way
+    training does (SURVEY.md §2.12), with zero cross-device communication in
+    the loop body: every lane's click protocol is independent, so GSPMD
+    partitions the whole while_loop per device and the only sync is the
+    global loop condition. ``batch_size`` must be divisible by the data-axis
+    size; params are replicated."""
     oh, ow = target_size
     nmax = net_clicks_limit
     with_prev = getattr(model, "with_prev_mask", False)
@@ -271,7 +280,22 @@ def make_device_evaluator(
 
     if batch_size == 1:
         return jax.jit(run_single)
-    return jax.jit(jax.vmap(run_single, in_axes=(None, 0, 0, 0)))
+    if mesh is None:
+        return jax.jit(jax.vmap(run_single, in_axes=(None, 0, 0, 0)))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    if batch_size % n_data:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by data axis {n_data}")
+    shard = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        jax.vmap(run_single, in_axes=(None, 0, 0, 0)),
+        in_shardings=(rep, shard, shard, shard),
+        out_shardings=(shard, shard),
+    )
 
 
 def _pad_job(image: np.ndarray, gt_mask: np.ndarray, bucket: int):

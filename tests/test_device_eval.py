@@ -112,3 +112,49 @@ def test_batched_device_loop_matches_single(model_and_params):
     for a, b in zip(singles, batched):
         assert len(a) == len(b), "batched lane stopped at a different click"
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_mesh_sharded_device_loop_matches_single(model_and_params):
+    """Dataset eval sharded over the 8-device mesh (sample axis on `data`)
+    must reproduce the unsharded batched trajectories — NoC evaluation scales
+    across chips with zero in-loop communication."""
+    from isegprobe_tpu.inference.device_eval import evaluate_dataset_device
+    from isegprobe_tpu.parallel.mesh import make_mesh
+
+    model, params = model_and_params
+    assert len(jax.devices()) == 8, "suite must run on the virtual 8-dev mesh"
+    mesh = make_mesh()
+    max_clicks = 3
+    common = dict(target_size=(56, 56), max_clicks=max_clicks,
+                  net_clicks_limit=max_clicks, pred_thr=0.49, target_iou=0.80,
+                  with_flip=True)
+    run1 = make_device_evaluator(model, **common)
+    runM = make_device_evaluator(model, batch_size=8, mesh=mesh, **common)
+
+    class _DS:
+        def __init__(self, seeds):
+            self.seeds = seeds
+
+        def __len__(self):
+            return len(self.seeds)
+
+        def get_sample(self, i):
+            class S:
+                pass
+
+            img, gt = _scene(self.seeds[i])
+            s = S()
+            s.image, s.objects_ids = img, [1]
+            s.gt_mask = lambda _oid, g=gt: g
+            return s
+
+    ds = _DS(list(range(10)))  # one full batch of 8 + padded tail of 2
+    singles = evaluate_dataset_device(run1, params, ds)
+    sharded = evaluate_dataset_device(runM, params, ds, batch_size=8)
+    assert len(sharded) == len(singles) == 10
+    for a, b in zip(singles, sharded):
+        assert len(a) == len(b), "sharded lane stopped at a different click"
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError):
+        make_device_evaluator(model, batch_size=3, mesh=mesh, **common)

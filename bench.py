@@ -106,14 +106,14 @@ def measure_ours(target=(448, 448), sample_hw=(480, 640), repeats=None,
     return times
 
 
-def measure_batched_throughput(batch_size: int = 8) -> float:
+def measure_batched_throughput(batch_size: int = 8, dtype=None) -> float:
     """Dataset-eval clicks/s with the vmapped whole-protocol evaluator."""
     from isegprobe_tpu.inference.device_eval import (
         evaluate_dataset_device,
         make_device_evaluator,
     )
 
-    predictor = build_predictor()
+    predictor = build_predictor(dtype)
 
     class _DS:
         def __len__(self):
@@ -189,6 +189,7 @@ def main():
     bf16_times = measure_ours(repeats=1, dtype=jnp.bfloat16)
     bf16_ms = float(np.median(bf16_times) * 1000)
     clicks_per_s = measure_batched_throughput(8)
+    clicks_per_s_bf16 = measure_batched_throughput(8, dtype=jnp.bfloat16)
     baseline_s = measure_torch_baseline()
     vs = (baseline_s * 1000 / p50_ms) if np.isfinite(baseline_s) else None
     # MFU of the per-click loop vs the chip's f32 matmul peak (v5e ~49 TF/s;
@@ -202,6 +203,7 @@ def main():
         "p95_ms": round(p95_ms, 3),
         "davis_scale_p50_ms": round(davis_ms, 3),
         "batched_clicks_per_s": round(clicks_per_s, 1),
+        "batched_bf16_clicks_per_s": round(clicks_per_s_bf16, 1),
         "bf16_p50_ms": round(bf16_ms, 3),
         "mfu_f32_pct": round(mfu_f32, 2),
     }))

@@ -1,21 +1,50 @@
-"""Host data loader with threaded prefetch.
+"""Host data loader with parallel prefetch.
 
 Replaces torch's DataLoader + DistributedSampler (reference:
-core/training/trainer.py:102-134, core/utils/distributed.py:56-63): items are
-produced by a thread pool (dataset __getitem__ is cv2/numpy-bound and releases
-the GIL in the hot paths) and stacked into numpy batches; sharding onto the
-device mesh happens in the trainer. In a multi-process setup each process
-loads its own shard of indices (rank-strided), mirroring DistributedSampler.
+core/training/trainer.py:102-134, core/utils/distributed.py:56-63). Items are
+produced item-parallel by a worker pool and stacked into numpy batches;
+sharding onto the device mesh happens in the trainer. In a multi-process setup
+each process loads its own shard of indices (rank-strided), mirroring
+DistributedSampler.
+
+Two worker modes:
+  * threads (default): zero-copy, fine when ``__getitem__`` is dominated by
+    GIL-releasing cv2/numpy kernels.
+  * processes (``use_processes=True``, config ``dataloader.mp``): sidesteps
+    the GIL for Python-heavy pipelines (procedural rendering, click synthesis
+    — profiled GIL-bound: threads made batch builds *slower* than serial).
+    Workers are seeded per-worker from (seed, worker_id) like the reference's
+    ``seed_worker`` (core/utils/misc.py:154-159); the pool persists across
+    epochs so process startup is paid once.
 """
 
 from __future__ import annotations
 
 import random
-from concurrent.futures import ThreadPoolExecutor
+from collections import deque
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, List
 
 import jax
 import numpy as np
+
+# per-process worker state (populated by _process_worker_init in each worker)
+_WORKER = {}
+
+
+def _process_worker_init(dataset, seed: int) -> None:
+    _WORKER["dataset"] = dataset
+    _WORKER["seed"] = int(seed)
+
+
+def _process_worker_get(task_id: int, index: int):
+    # per-item seeding: deterministic regardless of which worker runs the
+    # task (stronger than the reference's per-worker seed_worker,
+    # core/utils/misc.py:154-159, whose stream depends on task scheduling)
+    s = (_WORKER["seed"] * 1000003 + task_id) % (2**32)
+    random.seed(s)
+    np.random.seed(s)
+    return _WORKER["dataset"][index]
 
 
 def _stack(items: List[Dict]) -> Dict[str, np.ndarray]:
@@ -37,6 +66,7 @@ class DataLoader:
         prefetch: int = 2,
         rank: int = None,
         world: int = None,
+        use_processes: bool = False,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -45,7 +75,9 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.prefetch = prefetch
+        self.use_processes = use_processes
         self._epoch = 0
+        self._pool = None
         # process identity is overridable so multi-host sharding semantics are
         # unit-testable without a multi-process launch (SURVEY.md §4)
         self.rank = jax.process_index() if rank is None else rank
@@ -69,22 +101,62 @@ class DataLoader:
             random.Random(self.seed + self._epoch).shuffle(idx)
         return idx[self.rank::self.world]
 
-    def _build(self, chunk: List[int]) -> Dict[str, np.ndarray]:
-        return _stack([self.dataset[i] for i in chunk])
+    def _executor(self):
+        """Lazily create (and keep) the worker pool across epochs."""
+        if self._pool is None:
+            if self.use_processes:
+                import multiprocessing as mp
+
+                # spawn, not fork: the parent holds a live (grpc-backed) TPU
+                # runtime whose locks must not be duplicated into workers
+                ctx = mp.get_context("spawn")
+                self._pool = ProcessPoolExecutor(
+                    self.num_workers, mp_context=ctx,
+                    initializer=_process_worker_init,
+                    initargs=(self.dataset, self.seed),
+                )
+            else:
+                self._pool = ThreadPoolExecutor(self.num_workers)
+        return self._pool
+
+    def shutdown(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort; shutdown() is the explicit path
+        try:
+            self.shutdown()
+        except Exception:
+            pass
+
+    def _submit(self, pool, position: int, index: int):
+        if self.use_processes:
+            task_id = self._epoch * 1_000_000 + position
+            return pool.submit(_process_worker_get, task_id, index)
+        return pool.submit(self.dataset.__getitem__, index)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        from collections import deque
-
         indices = self._indices()
-        n_batches = len(self)
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            queue: deque = deque()
-            b = 0
-            while b < n_batches or queue:
-                # keep a bounded window of batches building in parallel
-                while b < n_batches and len(queue) < self.prefetch + self.num_workers:
-                    chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
-                    queue.append(pool.submit(self._build, chunk))
-                    b += 1
-                yield queue.popleft().result()
+        total = min(len(self) * self.batch_size, len(indices))
+        pool = self._executor()
+        # item-level sliding window: every worker stays busy inside a batch,
+        # not just across prefetched batches
+        window = self.batch_size * (self.prefetch + 1) + self.num_workers
+        futures: deque = deque()
+        pos = 0
+        while pos < total and len(futures) < window:
+            futures.append(self._submit(pool, pos, indices[pos]))
+            pos += 1
+        batch: List[Dict] = []
+        while futures:
+            batch.append(futures.popleft().result())
+            if pos < total:
+                futures.append(self._submit(pool, pos, indices[pos]))
+                pos += 1
+            if len(batch) == self.batch_size:
+                yield _stack(batch)
+                batch = []
+        if batch:  # drop_last=False tail
+            yield _stack(batch)
         self._epoch += 1

@@ -173,10 +173,15 @@ class iSegTrainer:
         batch_size = cfg.dataloader.batch_size
         val_batch_size = getattr(cfg.dataloader, "val_batch_size", batch_size)
         workers = getattr(cfg.dataloader, "workers", 4)
+        # dataloader.mp=true -> process workers (GIL-free item builds; see
+        # data/loader.py — the reference's num_workers>0 fork semantics)
+        use_mp = bool(getattr(cfg.dataloader, "mp", False))
         self.train_data = DataLoader(trainset, batch_size, shuffle=True,
-                                     num_workers=workers, seed=self.seed)
+                                     num_workers=workers, seed=self.seed,
+                                     use_processes=use_mp)
         self.val_data = DataLoader(valset, val_batch_size, shuffle=False,
-                                   num_workers=workers, seed=self.seed)
+                                   num_workers=workers, seed=self.seed,
+                                   use_processes=use_mp)
 
         self.train_metrics = metrics or []
         self.val_metrics = deepcopy(self.train_metrics)

@@ -131,6 +131,10 @@ def test_evaluate_main_device_loop(fixture_dataset, fixture_checkpoint,
             "print_ious=false",
             "iou_analysis=false",
             "device_loop=true",
+            # batched + mesh-sharded over the 8-device suite mesh: exercises
+            # the evaluate.py device_mesh wiring end-to-end
+            "device_batch=8",
+            "device_mesh=true",
             f"main_cfg_path={main_cfg_path}",
             f"logs_path={tmp_path / 'logs_dev'}",
         ],

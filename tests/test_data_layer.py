@@ -116,6 +116,35 @@ def test_dataset_and_loader_roundtrip():
     assert batches[0]["images"].shape == (4, 64, 72, 3)
 
 
+class _IndexDS:
+    """Top-level so process workers can unpickle it."""
+
+    def __init__(self, n=11):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, index):
+        return {"x": np.asarray([index], dtype=np.int64)}
+
+
+def test_loader_process_workers_and_tail_batch():
+    """Process-worker mode (dataloader.mp) must deliver the same items in the
+    same order as thread mode, and drop_last=False must yield the partial
+    tail batch."""
+    kw = dict(batch_size=4, shuffle=True, drop_last=False, num_workers=2,
+              seed=7)
+    thr = DataLoader(_IndexDS(), use_processes=False, **kw)
+    prc = DataLoader(_IndexDS(), use_processes=True, **kw)
+    got_t = list(thr)
+    got_p = list(prc)
+    prc.shutdown()
+    assert [b["x"].shape[0] for b in got_t] == [4, 4, 3]  # tail kept
+    for bt, bp in zip(got_t, got_p):
+        np.testing.assert_array_equal(bt["x"], bp["x"])
+
+
 def test_compose_datasets():
     from isegprobe_tpu.data.compose_dataset import (
         ComposeDataset,

@@ -21,6 +21,7 @@ from isegprobe_tpu.inference.metrics import (
     miou_at_k,
 )
 from isegprobe_tpu.utils.config import load_config, load_yaml
+from isegprobe_tpu.utils.log import logger
 from isegprobe_tpu.utils.serialization import (
     build_model,
     load_checkpoint,
@@ -214,7 +215,18 @@ def main() -> None:
                 jax.profiler.start_trace(profile_dir)
             latencies: list = []
             sample_times: list = []
-            if eval_cfg.get("device_loop", False) and eval_cfg.mode == "NoBRS":
+            use_device_loop = (
+                eval_cfg.get("device_loop", False) and eval_cfg.mode == "NoBRS"
+            )
+            if use_device_loop and (vis_callback or feats_callback):
+                # per-click probability maps never reach the host inside the
+                # compiled loop — visual callbacks need the host protocol
+                logger.info(
+                    "vis_preds/save_feats requested: falling back from "
+                    "device_loop to the host per-click path for callbacks"
+                )
+                use_device_loop = False
+            if use_device_loop:
                 # fast path: the whole ≤n_clicks protocol as one compiled
                 # program per sample — or per BATCH of same-size samples
                 # (protocol parity: tests/test_device_eval.py)

@@ -13,7 +13,8 @@ Two worker modes:
   * processes (``use_processes=True``, config ``dataloader.mp``): sidesteps
     the GIL for Python-heavy pipelines (procedural rendering, click synthesis
     — profiled GIL-bound: threads made batch builds *slower* than serial).
-    Workers are seeded per-worker from (seed, worker_id) like the reference's
+    Every item is seeded from (seed, epoch, position) — deterministic under
+    any worker scheduling, stronger than the reference's per-worker
     ``seed_worker`` (core/utils/misc.py:154-159); the pool persists across
     epochs so process startup is paid once.
 """

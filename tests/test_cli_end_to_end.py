@@ -86,6 +86,10 @@ def test_evaluate_main_runs(fixture_dataset, fixture_checkpoint, tmp_path,
             "target_iou=0.9",
             "print_ious=false",
             "iou_analysis=false",
+            # device_loop + vis_preds: must fall back to the host per-click
+            # path (the compiled loop can't service visual callbacks)
+            "device_loop=true",
+            "vis_preds=true",
             f"main_cfg_path={main_cfg_path}",
             f"logs_path={tmp_path / 'logs'}",
         ],
@@ -103,6 +107,9 @@ def test_evaluate_main_runs(fixture_dataset, fixture_checkpoint, tmp_path,
 
     results = (tmp_path / "logs" / "results.txt").read_text()
     assert "GrabCut" in results and "NoC@80%" in results
+    # fallback really took the host path: vis images were written
+    vis_files = list((tmp_path / "logs").rglob("*.jpg"))
+    assert vis_files, "vis_preds fallback produced no visualization images"
 
 
 def test_evaluate_main_device_loop(fixture_dataset, fixture_checkpoint,

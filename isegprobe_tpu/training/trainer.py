@@ -358,6 +358,16 @@ class iSegTrainer:
 
     def _step(self, params, opt_state, batch, rng, num_iters, iou_thresh=0.4,
               iou_step=0.025, click_trees=(), training=True):
+        # batches arrive compact (uint8 images, int8 masks — the loader keeps
+        # them small because the host->device upload dominates step wall time
+        # on tunnel-attached chips: 9.6 MB f32 images cost ~540 ms vs 97 ms
+        # as uint8); normalize/cast on device
+        if jnp.issubdtype(batch["images"].dtype, jnp.integer):
+            batch = dict(batch,
+                         images=batch["images"].astype(jnp.float32) / 255.0)
+        if jnp.issubdtype(batch["instances"].dtype, jnp.integer):
+            batch = dict(batch,
+                         instances=batch["instances"].astype(jnp.float32))
         frozen = jax.lax.stop_gradient(params["frozen"])
 
         full0 = {**params["trainable"], **frozen}
@@ -543,7 +553,9 @@ class iSegTrainer:
         vis_dir.mkdir(parents=True, exist_ok=True)
 
         probs, points = jax.device_get(vis_payload)
-        image = np.asarray(batch_data["images"][0], dtype=np.float32) * 255.0
+        image = np.asarray(batch_data["images"][0], dtype=np.float32)
+        if not np.issubdtype(batch_data["images"].dtype, np.integer):
+            image = image * 255.0  # [0,1] floats; uint8 batches are 0..255
         gt = np.asarray(batch_data["instances"][0, ..., 0], dtype=np.float32)
         gt[gt < 0] = 0.25
 

@@ -24,20 +24,32 @@ N_WARMUP = 3
 N_CLICKS = 30
 
 
-def build_predictor(dtype=None):
+def build_predictor(dtype=None, injection="before_backbone"):
     import jax
     import jax.numpy as jnp
 
     from isegprobe_tpu.inference.predictor import TPUPredictor
     from isegprobe_tpu.models.probe_model import iSegProbeModel
 
+    if injection == "after_backbone":
+        # the late-injection family (models/sbd/dinov2/simple-vit_noup.py):
+        # SimpleViT click encoder, trunk click-independent -> cacheable
+        embed_coords = dict(
+            type="simple_vit",
+            params=dict(img_size=[448, 448], patch_size=(14, 14),
+                        embed_dim=384, depth=6, heads=8, mlp_dim=2048,
+                        channels=3, dim_head=64),
+        )
+    else:
+        embed_coords = dict(
+            type="patchEmbed",
+            params=dict(img_size=(448, 448), patch_size=(14, 14),
+                        embed_dim=384),
+        )
     model = iSegProbeModel(
         backbone_cfg=dict(type="dinov2",
-                          params=dict(feats_injection_mode="before_backbone")),
-        embed_coords_cfg=dict(
-            type="patchEmbed",
-            params=dict(img_size=(448, 448), patch_size=(14, 14), embed_dim=384),
-        ),
+                          params=dict(feats_injection_mode=injection)),
+        embed_coords_cfg=embed_coords,
         head_cfg=dict(type="convhead",
                       params=dict(in_channels=384, num_layers=2, num_classes=1)),
         upsampler_cfg=dict(type="identity", params=dict()),
@@ -78,31 +90,34 @@ def forward_gflops(target: int = 448, embed_dim: int = 384, depth: int = 12,
     return 2 * (vit + head) / 1e9  # x2 for the flip pair
 
 
-def measure_ours(target=(448, 448), sample_hw=(480, 640), repeats=None,
-                 dtype=None):
-    """Per-sample wall times of the fully on-device NoC loop (one dispatch per
+def measure_ours(target=(448, 448), sample_hw=(480, 640), repeats=5,
+                 dtype=None, injection="before_backbone", trunk_cache="auto",
+                 predictor=None):
+    """Per-click wall time of the fully on-device NoC loop (one dispatch per
     sample; protocol-parity-tested against the host clicker+predictor path in
-    tests/test_device_eval.py). Returns (per_click_times, n_clicks)."""
+    tests/test_device_eval.py). Returns one per-click value per REPEAT (a
+    full 20-click loop each), so p50/p95 across the list reflect real
+    run-to-run variance — `repeats` is the honest sample count."""
     from isegprobe_tpu.inference.device_eval import (
         evaluate_sample_device,
         make_device_evaluator,
     )
 
-    predictor = build_predictor(dtype)
+    predictor = predictor or build_predictor(dtype, injection)
     img, gt = synthetic_sample(sample_hw)
     run = make_device_evaluator(
         predictor.model, target_size=target, max_clicks=20,
         net_clicks_limit=20, pred_thr=0.49, target_iou=1.01, with_flip=True,
+        trunk_cache=trunk_cache,
     )
     # warmup / compile
     evaluate_sample_device(run, predictor.params, img, gt)
 
     times = []
-    for _ in range(repeats or max(1, N_CLICKS // 20)):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         ious = evaluate_sample_device(run, predictor.params, img, gt)
-        per_click = (time.perf_counter() - t0) / max(1, len(ious))
-        times.extend([per_click] * len(ious))
+        times.append((time.perf_counter() - t0) / max(1, len(ious)))
     return times
 
 
@@ -178,34 +193,60 @@ def measure_torch_baseline() -> float:
         return float("nan")
 
 
+def measure_trunk_cache(dtype=None, repeats=3):
+    """Late-injection (after_backbone) per-click latency, cached vs uncached
+    trunk — the north-star restructuring (clicks reuse backbone features)."""
+    predictor = build_predictor(dtype, injection="after_backbone")
+    cached = measure_ours(repeats=repeats, trunk_cache="auto",
+                          predictor=predictor)
+    uncached = measure_ours(repeats=repeats, trunk_cache="off",
+                            predictor=predictor)
+    return float(np.median(cached) * 1000), float(np.median(uncached) * 1000)
+
+
 def main():
-    times = measure_ours()
+    from isegprobe_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
+    n_repeats = 5
+    times = measure_ours(repeats=n_repeats)
     p50_ms = float(np.median(times) * 1000)
     p95_ms = float(np.percentile(times, 95) * 1000)
-    davis_times = measure_ours(sample_hw=(480, 854), repeats=2)
+    davis_times = measure_ours(sample_hw=(480, 854), repeats=3)
     davis_ms = float(np.median(davis_times) * 1000)
     import jax.numpy as jnp
 
-    bf16_times = measure_ours(repeats=1, dtype=jnp.bfloat16)
+    bf16_times = measure_ours(repeats=n_repeats, dtype=jnp.bfloat16)
     bf16_ms = float(np.median(bf16_times) * 1000)
+    bf16_p95_ms = float(np.percentile(bf16_times, 95) * 1000)
+    cached_ms, uncached_ms = measure_trunk_cache(dtype=jnp.bfloat16)
     clicks_per_s = measure_batched_throughput(8)
     clicks_per_s_bf16 = measure_batched_throughput(8, dtype=jnp.bfloat16)
     baseline_s = measure_torch_baseline()
     vs = (baseline_s * 1000 / p50_ms) if np.isfinite(baseline_s) else None
-    # MFU of the per-click loop vs the chip's f32 matmul peak (v5e ~49 TF/s;
-    # the loop runs f32 end-to-end for NoC parity — see BASELINE.md)
-    mfu_f32 = forward_gflops() / (p50_ms / 1e3) / 49e3 * 100
+    # MFU vs the chip matmul peaks (v5e: ~49 TF/s f32, ~394 TF/s bf16). The
+    # latency loop runs f32 end-to-end for NoC parity; the batched bf16 MFU
+    # is the serving-throughput figure of merit (BASELINE.md).
+    gflops_click = forward_gflops()
+    mfu_f32 = gflops_click / (p50_ms / 1e3) / 49e3 * 100
+    mfu_bf16_batched = clicks_per_s_bf16 * gflops_click / 394e3 * 100
     print(json.dumps({
         "metric": "p50_per_click_latency",
         "value": round(p50_ms, 3),
         "unit": "ms",
         "vs_baseline": round(vs, 2) if vs else None,
         "p95_ms": round(p95_ms, 3),
+        "n_repeats": n_repeats,
         "davis_scale_p50_ms": round(davis_ms, 3),
         "batched_clicks_per_s": round(clicks_per_s, 1),
         "batched_bf16_clicks_per_s": round(clicks_per_s_bf16, 1),
         "bf16_p50_ms": round(bf16_ms, 3),
+        "bf16_p95_ms": round(bf16_p95_ms, 3),
+        "trunk_cached_bf16_p50_ms": round(cached_ms, 3),
+        "trunk_uncached_bf16_p50_ms": round(uncached_ms, 3),
+        "trunk_cache_speedup": round(uncached_ms / cached_ms, 2),
         "mfu_f32_pct": round(mfu_f32, 2),
+        "mfu_bf16_batched_pct": round(mfu_bf16_batched, 2),
     }))
 
 

@@ -146,6 +146,12 @@ def interpolate_backbone_pos_embed(model, params, config, target_size):
 
 
 def main() -> None:
+    from isegprobe_tpu.parallel.mesh import maybe_init_distributed
+    from isegprobe_tpu.utils.misc import enable_compile_cache
+
+    maybe_init_distributed()
+    enable_compile_cache()
+
     overrides = [a for a in sys.argv[1:] if "=" in a]
     eval_cfg = load_config("configs/eval_cfg.yaml", overrides)
     main_cfg = load_yaml(eval_cfg.main_cfg_path)
@@ -239,12 +245,29 @@ def main() -> None:
 
                 device_batch = int(eval_cfg.get("device_batch", 1))
                 mesh = None
-                if eval_cfg.get("device_mesh", False) and device_batch > 1:
+                if eval_cfg.get("device_mesh", False):
                     # shard the sample axis over every chip (data axis);
                     # lanes are independent, so eval scales like DP training
                     import jax
 
-                    if len(jax.devices()) > 1:
+                    n_dev = len(jax.devices())
+                    if device_batch <= 1:
+                        logger.warning(
+                            "device_mesh=true ignored: needs device_batch>1 "
+                            f"(got {device_batch}) to have a sample axis to "
+                            "shard")
+                    elif n_dev <= 1:
+                        logger.warning(
+                            "device_mesh=true ignored: only one device "
+                            "visible — running single-chip")
+                    elif device_batch % n_dev:
+                        raise ValueError(
+                            f"device_batch={device_batch} must be divisible "
+                            f"by the number of devices ({n_dev}) to shard the "
+                            "sample axis; pick e.g. "
+                            f"device_batch={-(-device_batch // n_dev) * n_dev}"
+                        )
+                    else:
                         from isegprobe_tpu.parallel.mesh import make_mesh
 
                         mesh = make_mesh()
@@ -254,6 +277,7 @@ def main() -> None:
                     net_clicks_limit=eval_cfg.clicks_limit or eval_cfg.n_clicks,
                     pred_thr=eval_cfg.thresh, target_iou=eval_cfg.target_iou,
                     with_flip=True, batch_size=device_batch, mesh=mesh,
+                    trunk_cache=str(eval_cfg.get("trunk_cache", "auto")),
                 )
                 t0 = _time()
                 all_ious = evaluate_dataset_device(

@@ -13,15 +13,30 @@ Two worker modes:
   * processes (``use_processes=True``, config ``dataloader.mp``): sidesteps
     the GIL for Python-heavy pipelines (procedural rendering, click synthesis
     — profiled GIL-bound: threads made batch builds *slower* than serial).
-    Every item is seeded from (seed, epoch, position) — deterministic under
-    any worker scheduling, stronger than the reference's per-worker
-    ``seed_worker`` (core/utils/misc.py:154-159); the pool persists across
-    epochs so process startup is paid once.
+    Every item is seeded from (seed, salt, epoch, position) via a
+    ``SeedSequence`` — deterministic under any worker scheduling, stronger
+    than the reference's per-worker ``seed_worker``
+    (core/utils/misc.py:154-159); the pool persists across epochs so process
+    startup is paid once.
+
+Caveats (scoped determinism):
+  * The per-item seeding above applies to PROCESS workers only. Thread
+    workers share the interpreter's global ``random``/``np.random`` state, so
+    thread-mode augmentation streams depend on scheduling — matching the
+    reference's torch-DataLoader-with-threads behavior, not improving on it.
+  * In process mode the dataset is pickled into the workers once, when the
+    pool is first created (first iteration): parent-side dataset mutations
+    after that are invisible to workers. Mutate before iterating, or call
+    ``shutdown()`` to force a re-snapshot.
+  * ``salt`` decorrelates loaders sharing one seed (e.g. train vs val):
+    without it, two process-mode loaders with the same seed would draw
+    identical per-(epoch, position) augmentation streams.
 """
 
 from __future__ import annotations
 
 import random
+import zlib
 from collections import deque
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, List
@@ -33,25 +48,41 @@ import numpy as np
 _WORKER = {}
 
 
-def _process_worker_init(dataset, seed: int) -> None:
+def _process_worker_init(dataset, seed: int, salt: int) -> None:
     _WORKER["dataset"] = dataset
     _WORKER["seed"] = int(seed)
+    _WORKER["salt"] = int(salt)
 
 
-def _process_worker_get(task_id: int, index: int):
+def _process_worker_get(epoch: int, position: int, index: int):
     # per-item seeding: deterministic regardless of which worker runs the
     # task (stronger than the reference's per-worker seed_worker,
-    # core/utils/misc.py:154-159, whose stream depends on task scheduling)
-    s = (_WORKER["seed"] * 1000003 + task_id) % (2**32)
-    random.seed(s)
-    np.random.seed(s)
+    # core/utils/misc.py:154-159, whose stream depends on task scheduling).
+    # SeedSequence mixes the words collision-resistantly — no epoch/position
+    # aliasing at any shard size, and distinct salts give independent streams.
+    s = np.random.SeedSequence(
+        [_WORKER["seed"], _WORKER["salt"], epoch, position]
+    ).generate_state(1)[0]
+    random.seed(int(s))
+    np.random.seed(int(s))
     return _WORKER["dataset"][index]
 
 
 def _stack(items: List[Dict]) -> Dict[str, np.ndarray]:
     out = {}
     for key in items[0]:
-        out[key] = np.stack([np.asarray(it[key]) for it in items])
+        arrays = [np.asarray(it[key]) for it in items]
+        first = arrays[0].dtype
+        if any(a.dtype != first for a in arrays):
+            # a silent np.stack promotion (e.g. uint8 images mixed with f32)
+            # would skip the trainer's integer-dtype /255 normalization for
+            # part of the batch — fail loudly instead
+            raise TypeError(
+                f"batch key {key!r} mixes dtypes "
+                f"{sorted({str(a.dtype) for a in arrays})}; per-item dtypes "
+                "must agree within a batch"
+            )
+        out[key] = np.stack(arrays)
     return out
 
 
@@ -68,6 +99,7 @@ class DataLoader:
         rank: int = None,
         world: int = None,
         use_processes: bool = False,
+        salt: str = "",
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -77,6 +109,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.use_processes = use_processes
+        self.salt = zlib.crc32(salt.encode())
         self._epoch = 0
         self._pool = None
         # process identity is overridable so multi-host sharding semantics are
@@ -114,7 +147,7 @@ class DataLoader:
                 self._pool = ProcessPoolExecutor(
                     self.num_workers, mp_context=ctx,
                     initializer=_process_worker_init,
-                    initargs=(self.dataset, self.seed),
+                    initargs=(self.dataset, self.seed, self.salt),
                 )
             else:
                 self._pool = ThreadPoolExecutor(self.num_workers)
@@ -133,8 +166,8 @@ class DataLoader:
 
     def _submit(self, pool, position: int, index: int):
         if self.use_processes:
-            task_id = self._epoch * 1_000_000 + position
-            return pool.submit(_process_worker_get, task_id, index)
+            return pool.submit(_process_worker_get, self._epoch, position,
+                               index)
         return pool.submit(self.dataset.__getitem__, index)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -1,5 +1,5 @@
 """Fully on-device NoC evaluation: the whole ≤20-click loop as ONE compiled
-program per sample.
+program per sample (or per batch of samples).
 
 The host protocol (inference/evaluation.py + predictor.py) dispatches one
 device program per click and round-trips the probability map for the clicker
@@ -7,11 +7,31 @@ and the ZoomIn ROI logic. This module moves everything inside a single
 ``lax.while_loop`` — clicker EDT (ops/edt.py device kernels), ROI state
 machine, crop/forward/flip/paste, IoU and the stopping rule — so per-click
 cost collapses to pure compute and the host pays one dispatch + one scalar
-sync per SAMPLE.
+sync per SAMPLE (or batch).
+
+Structure: the loop state carries a leading sample axis. Per-lane protocol
+steps (clicker, ROI machine, paste, IoU) are ``vmap``-ed over lanes, while the
+model forward runs once per click at batch level on the flattened
+``[B·flip, H, W, C]`` crop stack — big MXU matmuls instead of per-sample
+dispatches. Lanes that hit ``target_iou`` are masked out (their state stops
+updating) and the loop exits when every lane is done.
+
+Trunk caching (the north-star restructuring, BASELINE.json): with
+late-injection configs (``feats_injection_mode == 'after_backbone'``) the
+frozen backbone depends only on the ROI crop — not on clicks or the previous
+mask — so successive clicks reuse the cached trunk features and only re-run
+the click encoder + upsampler + head (``probe_model.forward_with_cached_trunk``,
+parity-tested in tests/test_backbone_cache.py). The recompute decision is a
+*batch-level scalar* (``any active lane's ROI changed``) so ``lax.cond``
+genuinely skips the backbone: a per-lane cond under ``vmap`` would lower to a
+``select`` that executes both branches every click. ROI changes become rare
+after the first ~3 clicks, so most clicks skip the trunk entirely — the
+reference recomputes the full network every click
+(core/inference/predictors/base_predictor.py:67-108).
 
 Protocol equivalence with the reference is by construction: the same decision
 rules on the same quantities (see next_click_from_error's decision-parity test
-and test_device_eval.py's trajectory-parity test vs the host path).
+and test_device_eval.py's trajectory-parity tests vs the host path).
 """
 
 from __future__ import annotations
@@ -85,87 +105,80 @@ def make_device_evaluator(
     recompute_thresh_iou: float = 0.5,
     batch_size: int = 1,
     mesh=None,
+    trunk_cache: str = "auto",
 ):
     """Build a jitted ``run(params, image_pad, gt_pad, valid_hw)`` evaluating
-    one sample entirely on device. Returns (ious [max_clicks], n_clicks).
+    samples entirely on device. Returns (ious [max_clicks], n_clicks).
 
-    ``batch_size > 1`` vmaps the whole click protocol over a leading sample
-    axis: the while_loop batching rule masks finished lanes automatically, and
-    every per-click forward becomes one batch-(2·)B compiled program — small
-    448² ViT matmuls batched up onto the MXU instead of dispatched per sample.
-    Shapes then gain a leading B: image [B,hp,wp,3], gt [B,hp,wp],
-    valid_hw [B,2] -> (ious [B,max_clicks], n [B]).
+    ``batch_size > 1`` runs the whole click protocol over a leading sample
+    axis: finished lanes are masked, and every per-click forward becomes one
+    batch-(flip·B) compiled program — small 448² ViT matmuls batched up onto
+    the MXU instead of dispatched per sample. Shapes then gain a leading B:
+    image [B,hp,wp,3], gt [B,hp,wp], valid_hw [B,2] ->
+    (ious [B,max_clicks], n [B]).
 
     ``mesh`` (with ``batch_size > 1``) shards the sample axis over the mesh's
     ``data`` axis — dataset NoC evaluation scales across chips the same way
     training does (SURVEY.md §2.12), with zero cross-device communication in
     the loop body: every lane's click protocol is independent, so GSPMD
-    partitions the whole while_loop per device and the only sync is the
-    global loop condition. ``batch_size`` must be divisible by the data-axis
-    size; params are replicated."""
+    partitions the whole while_loop per device and the only syncs are the
+    global loop condition and the (cached-trunk) recompute predicate.
+    ``batch_size`` must be divisible by the data-axis size; params are
+    replicated.
+
+    ``trunk_cache``: ``'auto'`` enables frozen-trunk caching when the
+    backbone's injection mode makes the trunk click-independent
+    (``after_backbone``); ``'on'`` forces it (errors on other modes);
+    ``'off'`` disables it.
+    """
     oh, ow = target_size
     nmax = net_clicks_limit
     with_prev = getattr(model, "with_prev_mask", False)
+    nflip = 2 if with_flip else 1
 
-    def forward(params, image_pad, prev, roi, points):
-        inp = image_pad
-        if with_prev:
-            inp = jnp.concatenate([image_pad, prev], axis=-1)
-        crop = crop_resize(inp, roi, (oh, ow))
-
-        rminf = roi[0].astype(jnp.float32)
-        cminf = roi[2].astype(jnp.float32)
-        rh = (roi[1] - roi[0] + 1).astype(jnp.float32)
-        rw = (roi[3] - roi[2] + 1).astype(jnp.float32)
-        yxi = points.astype(jnp.float32)
-        valid = jnp.max(yxi[..., :2], axis=-1) >= 0
-        pts = jnp.stack(
-            [oh * (yxi[..., 0] - rminf) / rh,
-             ow * (yxi[..., 1] - cminf) / rw,
-             yxi[..., 2]],
-            axis=-1,
+    injection = (model.backbone_cfg.get("params") or {}).get(
+        "feats_injection_mode", "no_injection"
+    )
+    if trunk_cache == "on" and injection != "after_backbone":
+        raise ValueError(
+            f"trunk_cache='on' requires feats_injection_mode='after_backbone' "
+            f"(the trunk must be click-independent); got {injection!r}"
         )
-        pts = jnp.where(valid[..., None], pts, -1.0)
+    use_cache = (
+        trunk_cache == "on"
+        or (trunk_cache == "auto" and injection == "after_backbone")
+    )
 
-        if with_flip:
-            crop2 = jnp.concatenate([crop, crop[:, :, ::-1]], axis=0)
-            fx = ow - pts[..., 1] - 1.0
-            pts_f = jnp.where(
-                valid[..., None],
-                jnp.stack([pts[..., 0], fx, pts[..., 2]], axis=-1),
-                -1.0,
-            )
-            pts2 = jnp.concatenate([pts, pts_f], axis=0)
-            logits = model.apply({"params": params}, crop2, pts2)["instances"]
-            logits = 0.5 * (logits[:1] + logits[1:, :, ::-1])
-        else:
-            logits = model.apply({"params": params}, crop, pts)["instances"]
-        return jax.nn.sigmoid(logits)
+    # ---- per-lane protocol pieces (vmapped over the sample axis) ----------
 
-    def run_single(params, image_hw3, gt_pad, valid_hw):
+    def _init_lane(image_hw3, gt_pad, valid_hw):
         # uint8 images normalize on device — the host uploads 4x fewer bytes
         # per sample (the tunnel transfer dominates single-sample dispatch)
         if jnp.issubdtype(image_hw3.dtype, jnp.integer):
             image_hw3 = image_hw3.astype(jnp.float32) / 255.0
-        image_pad = image_hw3[None]
-        hp, wp = image_pad.shape[1], image_pad.shape[2]
-        h_valid = valid_hw[0].astype(jnp.float32)
-        w_valid = valid_hw[1].astype(jnp.float32)
+        hp, wp = image_hw3.shape[0], image_hw3.shape[1]
 
         gt = gt_pad == 1
-        not_ignore = gt_pad != -1
         # ignore everything outside the valid extent
         rr = jnp.arange(hp)[:, None]
         cc = jnp.arange(wp)[None, :]
         in_valid = (rr < valid_hw[0]) & (cc < valid_hw[1])
-        not_ignore = not_ignore & in_valid
+        not_ignore = (gt_pad != -1) & in_valid
 
         full_roi = jnp.asarray([0, 0, 0, 0], jnp.int32).at[1].set(
             valid_hw[0] - 1
         ).at[3].set(valid_hw[1] - 1)
 
-        state = dict(
-            prev=jnp.zeros((1, hp, wp, 1), jnp.float32),
+        return dict(
+            # loop-invariant lane context
+            image=image_hw3,
+            gt=gt,
+            not_ignore=not_ignore,
+            in_valid=in_valid,
+            valid_hw=valid_hw,
+            full_roi=full_roi,
+            # mutable protocol state
+            prev=jnp.zeros((hp, wp, 1), jnp.float32),
             not_clicked=jnp.ones((hp, wp), jnp.bool_),
             pos_pts=jnp.full((nmax, 3), -1.0, jnp.float32),
             neg_pts=jnp.full((nmax, 3), -1.0, jnp.float32),
@@ -183,105 +196,234 @@ def make_device_evaluator(
             done=jnp.asarray(False),
         )
 
-        def cond(state):
-            return (~state["done"]) & (state["n"] < max_clicks)
+    def _lane_select(st):
+        """One lane's clicker + bookkeeping + ZoomIn ROI update."""
+        hp, wp = st["gt"].shape
+        h_valid = st["valid_hw"][0].astype(jnp.float32)
+        w_valid = st["valid_hw"][1].astype(jnp.float32)
+        prev2d = st["prev"][:, :, 0]
+        pred_mask = prev2d > pred_thr
 
-        def body(state):
-            prev2d = state["prev"][0, :, :, 0]
-            pred_mask = prev2d > pred_thr
+        # --- clicker (reference: clicker.py:58-91) -------------------
+        is_pos, cy, cx = next_click_from_error(
+            st["gt"], pred_mask, st["not_clicked"], st["not_ignore"]
+        )
+        cyf = cy.astype(jnp.float32)
+        cxf = cx.astype(jnp.float32)
+        idx = (st["n"]).astype(jnp.float32)
 
-            # --- clicker (reference: clicker.py:58-91) -------------------
-            is_pos, cy, cx = next_click_from_error(
-                gt, pred_mask, state["not_clicked"], not_ignore
+        pos_pts = jnp.where(
+            is_pos,
+            st["pos_pts"].at[st["n_pos"]].set(jnp.stack([cyf, cxf, idx])),
+            st["pos_pts"],
+        )
+        neg_pts = jnp.where(
+            is_pos,
+            st["neg_pts"],
+            st["neg_pts"].at[st["n_neg"]].set(jnp.stack([cyf, cxf, idx])),
+        )
+        n_pos = st["n_pos"] + is_pos.astype(jnp.int32)
+        n_neg = st["n_neg"] + (~is_pos).astype(jnp.int32)
+        not_clicked = st["not_clicked"].at[cy, cx].set(False)
+
+        pos_ymin = jnp.where(is_pos, jnp.minimum(st["pos_ymin"], cyf),
+                             st["pos_ymin"])
+        pos_ymax = jnp.where(is_pos, jnp.maximum(st["pos_ymax"], cyf),
+                             st["pos_ymax"])
+        pos_xmin = jnp.where(is_pos, jnp.minimum(st["pos_xmin"], cxf),
+                             st["pos_xmin"])
+        pos_xmax = jnp.where(is_pos, jnp.maximum(st["pos_xmax"], cxf),
+                             st["pos_xmax"])
+
+        # --- ZoomIn ROI state machine (reference: zoom_in.py:51-97) ---
+        # a candidate ROI exists only when the PREDICTED mask is non-empty
+        # (zoom_in.py:65-73); positive clicks are then added into the mask
+        # before the bbox (zoom_in.py:203-207)
+        roi_mask_pred = (prev2d > roi_prob_thresh) & st["in_valid"]
+        has_mask = jnp.any(roi_mask_pred)
+        pos_click_mask = jnp.zeros((hp, wp), jnp.bool_).at[
+            pos_pts[:, 0].astype(jnp.int32).clip(0, hp - 1),
+            pos_pts[:, 1].astype(jnp.int32).clip(0, wp - 1),
+        ].max(pos_pts[:, 0] >= 0)
+        roi_mask = roi_mask_pred | pos_click_mask
+
+        cand = _expand_clamp(_bbox_from_mask(roi_mask), expansion_ratio,
+                             min_crop_size, h_valid, w_valid)
+        cand = jnp.stack(cand).astype(jnp.int32)
+        cand = jnp.where(has_mask, cand, st["full_roi"])
+
+        cur = st["roi"].astype(jnp.float32)
+        clicks_inside = (
+            (pos_ymin >= cur[0]) & (pos_ymax < cur[1])
+            & (pos_xmin >= cur[2]) & (pos_xmax < cur[3])
+        ) | (n_pos == 0)
+        iou_ok = _bbox_iou(cand.astype(jnp.float32), cur) >= recompute_thresh_iou
+        update = (~st["roi_set"]) | (~clicks_inside) | (~iou_ok)
+        roi = jnp.where(update, cand, st["roi"])
+
+        points = jnp.concatenate([pos_pts, neg_pts], axis=0)
+        return dict(
+            pos_pts=pos_pts, neg_pts=neg_pts, n_pos=n_pos, n_neg=n_neg,
+            not_clicked=not_clicked,
+            pos_ymin=pos_ymin, pos_ymax=pos_ymax,
+            pos_xmin=pos_xmin, pos_xmax=pos_xmax,
+            roi=roi, roi_set=jnp.asarray(True),
+        ), points
+
+    def _roi_points(roi, points):
+        """Transform full-frame clicks into ROI-crop coordinates."""
+        rminf = roi[0].astype(jnp.float32)
+        cminf = roi[2].astype(jnp.float32)
+        rh = (roi[1] - roi[0] + 1).astype(jnp.float32)
+        rw = (roi[3] - roi[2] + 1).astype(jnp.float32)
+        yxi = points.astype(jnp.float32)
+        valid = jnp.max(yxi[..., :2], axis=-1) >= 0
+        pts = jnp.stack(
+            [oh * (yxi[..., 0] - rminf) / rh,
+             ow * (yxi[..., 1] - cminf) / rw,
+             yxi[..., 2]],
+            axis=-1,
+        )
+        return jnp.where(valid[..., None], pts, -1.0), valid
+
+    def _lane_crop_pts(image, prev, roi, points):
+        """Model inputs for one lane: [nflip, oh, ow, C] crop + points."""
+        inp = jnp.concatenate([image, prev], axis=-1) if with_prev else image
+        crop = crop_resize(inp[None], roi, (oh, ow))[0]
+        pts, valid = _roi_points(roi, points)
+        if with_flip:
+            crop = jnp.stack([crop, crop[:, ::-1]], axis=0)
+            fx = ow - pts[..., 1] - 1.0
+            pts_f = jnp.where(
+                valid[..., None],
+                jnp.stack([pts[..., 0], fx, pts[..., 2]], axis=-1),
+                -1.0,
             )
-            cyf = cy.astype(jnp.float32)
-            cxf = cx.astype(jnp.float32)
-            idx = (state["n"]).astype(jnp.float32)
+            pts = jnp.stack([pts, pts_f], axis=0)
+        else:
+            crop = crop[None]
+            pts = pts[None]
+        return crop, pts
 
-            pos_pts = jnp.where(
-                is_pos,
-                state["pos_pts"].at[state["n_pos"]].set(
-                    jnp.stack([cyf, cxf, idx])
-                ),
-                state["pos_pts"],
+    def _lane_trunk_crop(image, roi):
+        """Image-only ROI crop feeding the click-independent trunk."""
+        crop = crop_resize(image[None], roi, (oh, ow))[0]
+        if with_flip:
+            return jnp.stack([crop, crop[:, ::-1]], axis=0)
+        return crop[None]
+
+    def _lane_finish(st, roi, probs_lane):
+        prev = inverse_paste(probs_lane[None], roi, st["prev"][None])[0]
+        new_mask = prev[:, :, 0] > pred_thr
+        inter = jnp.sum(new_mask & st["gt"] & st["not_ignore"])
+        union = jnp.sum((new_mask | st["gt"]) & st["not_ignore"])
+        iou = inter / jnp.maximum(union, 1)
+        ious = st["ious"].at[st["n"]].set(iou)
+        return dict(
+            prev=prev, ious=ious, n=st["n"] + 1, done=iou >= target_iou
+        )
+
+    # ---- batch-level model stages -----------------------------------------
+
+    def _merge_flip(logits, b):
+        logits = logits.reshape(b, nflip, oh, ow, 1)
+        if with_flip:
+            logits = 0.5 * (logits[:, 0] + logits[:, 1, :, ::-1])
+        else:
+            logits = logits[:, 0]
+        return jax.nn.sigmoid(logits)
+
+    def _batched_forward(params, crops, ptss):
+        b = crops.shape[0]
+        logits = model.apply(
+            {"params": params},
+            crops.reshape(b * nflip, oh, ow, crops.shape[-1]),
+            ptss.reshape(b * nflip, 2 * nmax, 3),
+        )["instances"]
+        return _merge_flip(logits, b)
+
+    def _batched_trunk(params, images, rois):
+        crops = jax.vmap(_lane_trunk_crop)(images, rois)
+        b = crops.shape[0]
+        trunk = model.apply(
+            {"params": params},
+            crops.reshape(b * nflip, oh, ow, 3),
+            method=type(model).compute_backbone_trunk,
+        )
+        return trunk.reshape(b, nflip, *trunk.shape[1:])
+
+    def _batched_forward_cached(params, crops, ptss, trunk):
+        b = crops.shape[0]
+        logits = model.apply(
+            {"params": params},
+            crops.reshape(b * nflip, oh, ow, crops.shape[-1]),
+            ptss.reshape(b * nflip, 2 * nmax, 3),
+            trunk.reshape(b * nflip, *trunk.shape[2:]),
+            method=type(model).forward_with_cached_trunk,
+        )["instances"]
+        return _merge_flip(logits, b)
+
+    # ---- the compiled protocol loop ---------------------------------------
+
+    def run_batched(params, images, gts, valid_hws):
+        st = jax.vmap(_init_lane)(images, gts, valid_hws)
+        if use_cache:
+            # serves click 1: the first ROI candidate with an empty prediction
+            # is the full frame, which this trunk was computed for
+            st["trunk"] = _batched_trunk(params, st["image"], st["roi"])
+            st["trunk_roi"] = st["roi"]
+
+        def cond(st):
+            return jnp.any((~st["done"]) & (st["n"] < max_clicks))
+
+        def body(st):
+            active = (~st["done"]) & (st["n"] < max_clicks)
+            sel, points = jax.vmap(_lane_select)(st)
+            crops, ptss = jax.vmap(_lane_crop_pts)(
+                st["image"], st["prev"], sel["roi"], points
             )
-            neg_pts = jnp.where(
-                is_pos,
-                state["neg_pts"],
-                state["neg_pts"].at[state["n_neg"]].set(
-                    jnp.stack([cyf, cxf, idx])
-                ),
-            )
-            n_pos = state["n_pos"] + is_pos.astype(jnp.int32)
-            n_neg = state["n_neg"] + (~is_pos).astype(jnp.int32)
-            not_clicked = state["not_clicked"].at[cy, cx].set(False)
+            if use_cache:
+                changed = jnp.any(
+                    jnp.any(sel["roi"] != st["trunk_roi"], axis=-1) & active
+                )
+                trunk, trunk_roi = jax.lax.cond(
+                    changed,
+                    lambda: (_batched_trunk(params, st["image"], sel["roi"]),
+                             sel["roi"]),
+                    lambda: (st["trunk"], st["trunk_roi"]),
+                )
+                probs = _batched_forward_cached(params, crops, ptss, trunk)
+            else:
+                probs = _batched_forward(params, crops, ptss)
+            fin = jax.vmap(_lane_finish)(st, sel["roi"], probs)
 
-            pos_ymin = jnp.where(is_pos, jnp.minimum(state["pos_ymin"], cyf),
-                                 state["pos_ymin"])
-            pos_ymax = jnp.where(is_pos, jnp.maximum(state["pos_ymax"], cyf),
-                                 state["pos_ymax"])
-            pos_xmin = jnp.where(is_pos, jnp.minimum(state["pos_xmin"], cxf),
-                                 state["pos_xmin"])
-            pos_xmax = jnp.where(is_pos, jnp.maximum(state["pos_xmax"], cxf),
-                                 state["pos_xmax"])
+            new = {**st, **sel, **fin}
+            if use_cache:
+                new["trunk"], new["trunk_roi"] = trunk, trunk_roi
+            # finished lanes freeze: keep their old state verbatim
+            out = {}
+            for k, v in new.items():
+                old = st[k]
+                if v is old:
+                    out[k] = v
+                    continue
+                mask = active.reshape((-1,) + (1,) * (v.ndim - 1))
+                out[k] = jnp.where(mask, v, old)
+            return out
 
-            # --- ZoomIn ROI state machine (reference: zoom_in.py:51-97) ---
-            # a candidate ROI exists only when the PREDICTED mask is non-empty
-            # (zoom_in.py:65-73); positive clicks are then added into the mask
-            # before the bbox (zoom_in.py:203-207)
-            roi_mask_pred = (prev2d > roi_prob_thresh) & in_valid
-            has_mask = jnp.any(roi_mask_pred)
-            pos_click_mask = jnp.zeros((hp, wp), jnp.bool_).at[
-                pos_pts[:, 0].astype(jnp.int32).clip(0, hp - 1),
-                pos_pts[:, 1].astype(jnp.int32).clip(0, wp - 1),
-            ].max(pos_pts[:, 0] >= 0)
-            roi_mask = roi_mask_pred | pos_click_mask
-
-            cand = _expand_clamp(_bbox_from_mask(roi_mask), expansion_ratio,
-                                 min_crop_size, h_valid, w_valid)
-            cand = jnp.stack(cand).astype(jnp.int32)
-            cand = jnp.where(has_mask, cand, full_roi)
-
-            cur = state["roi"].astype(jnp.float32)
-            clicks_inside = (
-                (pos_ymin >= cur[0]) & (pos_ymax < cur[1])
-                & (pos_xmin >= cur[2]) & (pos_xmax < cur[3])
-            ) | (n_pos == 0)
-            iou_ok = _bbox_iou(cand.astype(jnp.float32), cur) >= recompute_thresh_iou
-            update = (~state["roi_set"]) | (~clicks_inside) | (~iou_ok)
-            roi = jnp.where(update, cand, state["roi"])
-
-            # --- forward + paste -----------------------------------------
-            points = jnp.concatenate([pos_pts, neg_pts], axis=0)[None]
-            probs = forward(params, image_pad, state["prev"], roi, points)
-            prev = inverse_paste(probs, roi, state["prev"])
-
-            # --- IoU + stop (reference: evaluation.py:61-86) --------------
-            new_mask = prev[0, :, :, 0] > pred_thr
-            inter = jnp.sum(new_mask & gt & not_ignore)
-            union = jnp.sum((new_mask | gt) & not_ignore)
-            iou = inter / jnp.maximum(union, 1)
-
-            ious = state["ious"].at[state["n"]].set(iou)
-            n = state["n"] + 1
-            done = iou >= target_iou
-
-            return dict(
-                prev=prev, not_clicked=not_clicked,
-                pos_pts=pos_pts, neg_pts=neg_pts, n_pos=n_pos, n_neg=n_neg,
-                pos_ymin=pos_ymin, pos_ymax=pos_ymax,
-                pos_xmin=pos_xmin, pos_xmax=pos_xmax,
-                roi=roi, roi_set=jnp.asarray(True),
-                ious=ious, n=n, done=done,
-            )
-
-        state = jax.lax.while_loop(cond, body, state)
-        return state["ious"], state["n"]
+        st = jax.lax.while_loop(cond, body, st)
+        return st["ious"], st["n"]
 
     if batch_size == 1:
-        return jax.jit(run_single)
+        def run_one(params, image, gt_pad, valid_hw):
+            ious, n = run_batched(
+                params, image[None], gt_pad[None], valid_hw[None]
+            )
+            return ious[0], n[0]
+
+        return jax.jit(run_one)
     if mesh is None:
-        return jax.jit(jax.vmap(run_single, in_axes=(None, 0, 0, 0)))
+        return jax.jit(run_batched)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -292,7 +434,7 @@ def make_device_evaluator(
     shard = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     return jax.jit(
-        jax.vmap(run_single, in_axes=(None, 0, 0, 0)),
+        run_batched,
         in_shardings=(rep, shard, shard, shard),
         out_shardings=(shard, shard),
     )

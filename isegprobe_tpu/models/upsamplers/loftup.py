@@ -73,11 +73,14 @@ class ImplicitFeaturizer(nn.Module):
     learn_bias: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, row_coords: jnp.ndarray | None = None
+                 ) -> jnp.ndarray:
+        """``row_coords`` overrides the row grid — used by the banded query
+        path to evaluate a horizontal slab at its *global* coordinates."""
         b, h, w, c = x.shape
         dim_mult = 2 + (3 if self.color_feats else 0)
 
-        gh = jnp.linspace(-1.0, 1.0, h)
+        gh = row_coords if row_coords is not None else jnp.linspace(-1.0, 1.0, h)
         gw = jnp.linspace(-1.0, 1.0, w)
         grid = jnp.stack(jnp.meshgrid(gh, gw, indexing="ij"), axis=-1)  # [H,W,2]
         feats = jnp.broadcast_to(grid[None], (b, h, w, 2))
@@ -204,6 +207,16 @@ class LoftUpUpsampler(nn.Module):
     num_layers: int = 2
     upsampler_path: str | None = None  # checkpoint path; loading external
     attn_impl: str = "auto"
+    # Banded query evaluation: above ``query_chunk_min_pixels`` output pixels,
+    # the query side (Fourier stem -> cross-attention -> 1x1 conv + LN, all
+    # per-pixel or 3x3-local) runs in horizontal slabs of
+    # ``query_chunk_rows`` so the [B, H·W, cdim] query activations never
+    # materialize at once — at 448² the monolithic path OOMs HBM at
+    # device_batch=8. Banding is exact: the stem slabs carry a 2-row halo
+    # (two 3x3 convs) with global-zero-padding emulation, and queries never
+    # attend to each other.
+    query_chunk_rows: int = 64
+    query_chunk_min_pixels: int = 120_000
 
     @nn.compact
     def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
@@ -213,22 +226,59 @@ class LoftUpUpsampler(nn.Module):
 
         source = ChannelNorm(dim, name="channelnorm")(source)
 
-        # queries from image Fourier features
-        x = min_max_scale(guidance)
-        x = ImplicitFeaturizer(True, self.n_freqs, True, name="fourier_feat")(x)
-        x = ChannelNorm(x.shape[-1], name="first_norm")(x)
-        x = _ConvBNRelu(cdim, name="first_conv1")(x)
-        x = _ConvBNRelu(cdim, name="first_conv2")(x)
-        b, h, w, _ = x.shape
-        q = x.reshape(b, h * w, cdim)
-
         # keys/values from LR features + sine positional features
         lr_pe = ImplicitFeaturizer(False, 5, True, name="lr_pe")(source)
         kv = jnp.concatenate([source, lr_pe], axis=-1)
+        b = source.shape[0]
         kv = kv.reshape(b, -1, cdim)
 
-        out = CATransformer(cdim, self.num_layers, self.num_heads, dim,
-                            self.attn_impl, name="ca_transformer")(q, kv)
-        out = out.reshape(b, h, w, cdim)
-        out = nn.Conv(dim, (1, 1), name="final_conv")(out)
-        return ConvNeXtLayerNorm(dim, name="final_ln")(out)
+        # query-side modules (instantiated once; banded path reuses them)
+        fourier = ImplicitFeaturizer(True, self.n_freqs, True,
+                                     name="fourier_feat")
+        first_norm = ChannelNorm(2 * self.n_freqs * 5 + 3, name="first_norm")
+        conv1 = _ConvBNRelu(cdim, name="first_conv1")
+        conv2 = _ConvBNRelu(cdim, name="first_conv2")
+        cat = CATransformer(cdim, self.num_layers, self.num_heads, dim,
+                            self.attn_impl, name="ca_transformer")
+        final_conv = nn.Conv(dim, (1, 1), name="final_conv")
+        final_ln = ConvNeXtLayerNorm(dim, name="final_ln")
+
+        h, w = guidance.shape[1], guidance.shape[2]
+        x_scaled = min_max_scale(guidance)  # global (batch+space): pre-band
+
+        chunk = self.query_chunk_rows
+        if chunk > 0:  # largest divisor of h not above the requested rows
+            while h % chunk:
+                chunk -= 1
+        use_bands = (
+            chunk > 0 and chunk < h and h * w > self.query_chunk_min_pixels
+        )
+
+        if not use_bands:
+            x = fourier(x_scaled)
+            x = first_norm(x)
+            x = conv1(x)
+            x = conv2(x)
+            q = x.reshape(b, h * w, cdim)
+            out = cat(q, kv)
+            out = out.reshape(b, h, w, cdim)
+            return final_ln(final_conv(out))
+
+        rows = jnp.linspace(-1.0, 1.0, h)
+        outs = []
+        for r0 in range(0, h, chunk):
+            # slab + 2-row halo; out-of-frame rows are zeroed after the norm,
+            # reproducing the monolithic convs' zero padding at the frame edge
+            band = jnp.arange(r0 - 2, r0 + chunk + 2)
+            idx = jnp.clip(band, 0, h - 1)
+            in_frame = ((band >= 0) & (band < h)).astype(x_scaled.dtype)
+            xb = fourier(x_scaled[:, idx], row_coords=rows[idx])
+            xb = first_norm(xb)
+            xb = xb * in_frame[None, :, None, None]
+            xb = conv1(xb)[:, 1:-1]
+            xb = conv2(xb)[:, 1:-1]  # [b, chunk, w, cdim], exact
+            qb = xb.reshape(b, chunk * w, cdim)
+            ob = cat(qb, kv)
+            ob = ob.reshape(b, chunk, w, cdim)
+            outs.append(final_ln(final_conv(ob)))
+        return jnp.concatenate(outs, axis=1)

@@ -20,6 +20,41 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-process launch gate — the analogue of the reference's
+    ``torch.distributed.init_process_group`` at CLI startup
+    (core/utils/exp.py:33-36), rebuilt on JAX's distributed runtime.
+
+    Called by train.py/evaluate.py before any device use. Initializes when a
+    coordinator is configured, so single-process runs pay nothing:
+
+      * ``ISEG_COORDINATOR=host:port`` + ``ISEG_NUM_PROCESSES`` +
+        ``ISEG_PROCESS_ID`` — explicit launch (one command per host, same
+        coordinator; the JAX analogue of torchrun's env:// rendezvous).
+      * ``ISEG_DISTRIBUTED=auto`` — TPU-pod auto-detection: on Cloud TPU
+        ``jax.distributed.initialize()`` reads the pod metadata itself.
+
+    After init, ``jax.devices()`` spans every host (ICI+DCN), meshes built by
+    ``make_mesh`` are global, and rank identity comes from
+    ``jax.process_index()`` (see docs/SCALING.md for the launch recipe).
+    Returns True iff the distributed runtime was initialized.
+    """
+    import os
+
+    coord = os.environ.get("ISEG_COORDINATOR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["ISEG_NUM_PROCESSES"]),
+            process_id=int(os.environ["ISEG_PROCESS_ID"]),
+        )
+        return True
+    if os.environ.get("ISEG_DISTRIBUTED", "").lower() == "auto":
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data", "model"),
@@ -48,6 +83,30 @@ def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict onto the mesh, sharded along the leading axis."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sharding), batch)
+
+
+def put_global_batch(batch, mesh: Mesh, multiprocess: bool = None):
+    """Batch placement that is correct in BOTH launch modes.
+
+    Single-process: plain ``device_put`` of the full batch onto the ``data``
+    axis. Multi-process (after ``maybe_init_distributed``): every process
+    holds only its rank-strided shard (loader striding), so the global array
+    is assembled from process-local pieces via
+    ``jax.make_array_from_process_local_data`` — the effective global batch is
+    batch_size x process_count, matching the reference's per-GPU DDP batch
+    semantics (core/training/trainer.py:102-134). ``multiprocess`` is
+    overridable so the multi-host path is unit-testable in one process."""
+    if multiprocess is None:
+        multiprocess = jax.process_count() > 1
+    sharding = batch_sharding(mesh)
+    if multiprocess:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch,
+        )
+    return jax.tree.map(
+        lambda x: jax.device_put(np.asarray(x), sharding), batch)
 
 
 def replicate(tree, mesh: Mesh):

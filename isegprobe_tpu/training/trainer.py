@@ -36,9 +36,9 @@ import optax
 from isegprobe_tpu.data.loader import DataLoader
 from isegprobe_tpu.ops.edt import edt_l2sq_device
 from isegprobe_tpu.parallel.mesh import (
-    batch_sharding,
     make_mesh,
     process_is_master,
+    put_global_batch,
     reduce_loss_dict,
     replicate,
 )
@@ -178,10 +178,10 @@ class iSegTrainer:
         use_mp = bool(getattr(cfg.dataloader, "mp", False))
         self.train_data = DataLoader(trainset, batch_size, shuffle=True,
                                      num_workers=workers, seed=self.seed,
-                                     use_processes=use_mp)
+                                     use_processes=use_mp, salt="train")
         self.val_data = DataLoader(valset, val_batch_size, shuffle=False,
                                    num_workers=workers, seed=self.seed,
-                                   use_processes=use_mp)
+                                   use_processes=use_mp, salt="val")
 
         self.train_metrics = metrics or []
         self.val_metrics = deepcopy(self.train_metrics)
@@ -425,10 +425,8 @@ class iSegTrainer:
                 self.validation(epoch)
 
     def _prep_batch(self, batch_data):
-        sharding = batch_sharding(self.mesh)
-        return jax.tree.map(
-            lambda x: jax.device_put(np.asarray(x), sharding), batch_data
-        )
+        # single- vs multi-process placement: parallel/mesh.put_global_batch
+        return put_global_batch(batch_data, self.mesh)
 
     def training(self, epoch: int) -> None:
         self._ensure_writer()

@@ -93,8 +93,22 @@ def init_experiment(cfg: EDict, model_name: Optional[str] = None) -> EDict:
             default=-1,
         )
         name = cfg.exp.get("name") or datetime.now().strftime("%Y-%m-%d")
-        exp_path = exp_parent_path / f"{last_run + 1:03d}_{name}"
-        exp_path.mkdir(parents=True)
+        run_num = last_run + 1
+        import jax
+
+        multiproc = jax.process_count() > 1
+        if multiproc:
+            # all ranks must agree on the auto-numbered run dir even when a
+            # shared filesystem makes the local `last_run` scan racy: rank 0
+            # decides, everyone else follows (ref's DDP equivalent: only
+            # rank 0 creates dirs, core/utils/exp.py:60-74)
+            import numpy as np
+            from jax.experimental import multihost_utils
+
+            run_num = int(multihost_utils.broadcast_one_to_all(
+                np.int32(run_num)))
+        exp_path = exp_parent_path / f"{run_num:03d}_{name}"
+        exp_path.mkdir(parents=True, exist_ok=multiproc)
 
     cfg.EXP_PATH = exp_path
     cfg.CHECKPOINTS_PATH = exp_path / "checkpoints"

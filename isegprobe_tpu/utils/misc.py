@@ -72,6 +72,27 @@ def get_labels_with_sizes(x: np.ndarray):
     return labels.tolist(), counts[labels].tolist()
 
 
+def enable_compile_cache(path: str = None) -> None:
+    """Turn on JAX's persistent compilation cache for the CLIs.
+
+    The compiled 448² 20-click protocol program takes ~3-4 min to build on a
+    tunnel-attached chip but loads from the on-disk cache in seconds
+    (measured: 222 s -> 14 s first-run). Respects an explicit
+    ``JAX_COMPILATION_CACHE_DIR`` env override; defaults to the repo-local
+    ``.jax_cache/`` (gitignored)."""
+    import os
+    from pathlib import Path
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return  # user already chose a cache location via env
+    import jax
+
+    if path is None:
+        path = Path(__file__).resolve().parents[2] / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
 def seed_all(seed: int) -> None:
     """Seed Python and NumPy RNGs. JAX randomness is already explicit via keys."""
     random.seed(seed)

@@ -114,6 +114,117 @@ def test_batched_device_loop_matches_single(model_and_params):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+@pytest.fixture(scope="module")
+def late_model_and_params():
+    """after_backbone injection: the frozen trunk is click-independent, so the
+    device loop caches it across clicks (recompute only on ROI change)."""
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="after_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(56, 56), patch_size=(14, 14), embed_dim=384),
+        ),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1, num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        use_disks=True,
+        norm_radius=5,
+        with_prev_mask=True,
+        attn_impl="jnp",
+    )
+    image = np.zeros((1, 56, 56, 4), dtype=np.float32)
+    points = np.full((1, 4, 3), -1.0, dtype=np.float32)
+    params = model.init(jax.random.PRNGKey(0), image, points)["params"]
+    return model, params
+
+
+def test_cached_trunk_loop_matches_uncached_and_host(late_model_and_params):
+    """Trunk-cached device loop (the default for late injection) must
+    reproduce both the uncached device loop and the host protocol."""
+    model, params = late_model_and_params
+    max_clicks = 4
+    common = dict(target_size=(56, 56), max_clicks=max_clicks,
+                  net_clicks_limit=max_clicks, pred_thr=0.49, target_iou=0.95,
+                  with_flip=True)
+
+    run_auto = make_device_evaluator(model, **common)  # auto -> cached
+    run_off = make_device_evaluator(model, trunk_cache="off", **common)
+
+    for seed in (0, 5):
+        img, gt = _scene(seed)
+        cached = evaluate_sample_device(run_auto, params, img, gt)
+        uncached = evaluate_sample_device(run_off, params, img, gt)
+        assert len(cached) == len(uncached), (
+            f"seed {seed}: cached loop stopped at a different click")
+        np.testing.assert_allclose(cached, uncached, rtol=1e-4, atol=1e-4)
+
+        host_pred = TPUPredictor(model, params, target_size=(56, 56),
+                                 with_flip=True, net_clicks_limit=max_clicks)
+        _, host_ious, _ = evaluate_sample(
+            img, gt, host_pred, max_iou_thr=0.95, pred_thr=0.49,
+            max_clicks=max_clicks,
+        )
+        assert len(cached) == len(host_ious)
+        np.testing.assert_allclose(cached, host_ious, rtol=1e-3, atol=1e-3)
+
+    with pytest.raises(ValueError):
+        # early injection cannot force the cache on: trunk depends on clicks
+        make_device_evaluator(
+            iSegProbeModel(
+                backbone_cfg=dict(
+                    type="dinov2",
+                    params=dict(feats_injection_mode="before_backbone")),
+                embed_coords_cfg=dict(
+                    type="patchEmbed",
+                    params=dict(img_size=(56, 56), patch_size=(14, 14),
+                                embed_dim=384)),
+                head_cfg=dict(type="convhead",
+                              params=dict(in_channels=384, num_layers=1,
+                                          num_classes=1)),
+            ),
+            trunk_cache="on", **common)
+
+
+def test_cached_trunk_batched_matches_single(late_model_and_params):
+    """Batched cached loop: the batch-level recompute predicate (any active
+    lane's ROI changed) must preserve every lane's exact trajectory."""
+    from isegprobe_tpu.inference.device_eval import evaluate_dataset_device
+
+    model, params = late_model_and_params
+    max_clicks = 4
+    common = dict(target_size=(56, 56), max_clicks=max_clicks,
+                  net_clicks_limit=max_clicks, pred_thr=0.49, target_iou=0.80,
+                  with_flip=True)
+    run1 = make_device_evaluator(model, **common)
+    runB = make_device_evaluator(model, batch_size=3, **common)
+
+    class _DS:
+        def __init__(self, seeds):
+            self.seeds = seeds
+
+        def __len__(self):
+            return len(self.seeds)
+
+        def get_sample(self, i):
+            class S:
+                pass
+
+            img, gt = _scene(self.seeds[i])
+            s = S()
+            s.image, s.objects_ids = img, [1]
+            s.gt_mask = lambda _oid, g=gt: g
+            return s
+
+    ds = _DS([0, 3, 5, 7])
+    singles = evaluate_dataset_device(run1, params, ds)
+    batched = evaluate_dataset_device(runB, params, ds, batch_size=3)
+    assert len(batched) == len(singles) == 4
+    for a, b in zip(singles, batched):
+        assert len(a) == len(b), "batched lane stopped at a different click"
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_mesh_sharded_device_loop_matches_single(model_and_params):
     """Dataset eval sharded over the 8-device mesh (sample axis on `data`)
     must reproduce the unsharded batched trajectories — NoC evaluation scales

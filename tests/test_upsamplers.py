@@ -91,6 +91,35 @@ def test_loftup_parity():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 
+def test_loftup_banded_queries_exact():
+    """The banded query path (auto-enabled at 448² eval so HBM holds
+    device_batch=8) must reproduce the monolithic path exactly: stem slabs
+    carry a 2-row halo and queries never attend to each other."""
+    dim = 32
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.standard_normal((2, 4, 4, dim), dtype=np.float32))
+    img = jnp.asarray(rng.random((2, 56, 56, 3), dtype=np.float32))
+
+    mono = LoftUpUpsampler(n_dim=dim, attn_impl="jnp", query_chunk_rows=0)
+    params = mono.init(jax.random.PRNGKey(2), src, img)["params"]
+    want = mono.apply({"params": params}, src, img)
+
+    banded = LoftUpUpsampler(n_dim=dim, attn_impl="jnp", query_chunk_rows=16,
+                             query_chunk_min_pixels=0)
+    got = banded.apply({"params": params}, src, img)
+    assert got.shape == want.shape == (2, 56, 56, dim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # non-divisible requested rows fall back to the nearest divisor (still
+    # banded, still exact)
+    banded24 = LoftUpUpsampler(n_dim=dim, attn_impl="jnp",
+                               query_chunk_rows=24, query_chunk_min_pixels=0)
+    got24 = banded24.apply({"params": params}, src, img)
+    np.testing.assert_allclose(np.asarray(got24), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_jbu_shapes_and_finiteness():
     rng = np.random.default_rng(2)
     src = jnp.asarray(rng.standard_normal((1, 4, 4, 32), dtype=np.float32))

@@ -12,6 +12,14 @@ from isegprobe_tpu.utils.exp import init_experiment, load_module
 
 
 def main() -> None:
+    # multi-process gate BEFORE any device use (the analogue of the
+    # reference's init_process_group at startup, core/utils/exp.py:33-36)
+    from isegprobe_tpu.parallel.mesh import maybe_init_distributed
+    from isegprobe_tpu.utils.misc import enable_compile_cache
+
+    maybe_init_distributed()
+    enable_compile_cache()
+
     overrides = [a for a in sys.argv[1:] if "=" in a]
     cfg = load_config("configs/train_cfg.yaml", overrides)
 

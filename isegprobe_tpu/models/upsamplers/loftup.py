@@ -275,7 +275,10 @@ class LoftUpUpsampler(nn.Module):
             xb = fourier(x_scaled[:, idx], row_coords=rows[idx])
             xb = first_norm(xb)
             xb = xb * in_frame[None, :, None, None]
-            xb = conv1(xb)[:, 1:-1]
+            # re-zero out-of-frame rows after EACH conv: the monolithic convs
+            # see literal zero padding there, while a band conv's receptive
+            # field reaches real rows through the halo
+            xb = conv1(xb)[:, 1:-1] * in_frame[1:-1][None, :, None, None]
             xb = conv2(xb)[:, 1:-1]  # [b, chunk, w, cdim], exact
             qb = xb.reshape(b, chunk * w, cdim)
             ob = cat(qb, kv)

@@ -24,24 +24,33 @@ __all__ = ["mha"]
 
 
 def _mha_jnp(q, k, v, scale):
-    """Reference path: q,k,v [B, N, H, Dh] -> [B, N, H, Dh], f32 softmax."""
-    hi = jax.lax.Precision.HIGHEST
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=hi).astype(jnp.float32) * scale
+    """Reference path: q,k,v [B, N, H, Dh] -> [B, N, H, Dh], f32 softmax.
+
+    Matmuls run at the INPUT dtype with f32 accumulation: HIGHEST precision
+    on bf16 inputs would upcast the MXU to f32 throughput (~8x slower on
+    v5e); f32 inputs keep HIGHEST for exact parity."""
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=prec,
+                   preferred_element_type=jnp.float32) * scale
     p = jax.nn.softmax(s, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v, precision=hi)
-    return out
+    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v, precision=prec,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
-    q = q_ref[0].astype(jnp.float32)  # [bq, d]
-    k = k_ref[0].astype(jnp.float32)  # [Np, d]
+    q = q_ref[0]  # [bq, d] — input dtype: bf16 inputs ride the bf16 MXU
+    k = k_ref[0]  # [Np, d]
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     s = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ) * scale  # [bq, Np]
+        preferred_element_type=jnp.float32,  # f32 accumulate regardless
+        precision=prec,
+    ) * scale  # [bq, Np] f32
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, -jnp.inf)
     # numerically-stable softmax in f32
@@ -49,10 +58,10 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
     o = jnp.dot(
-        p,
-        v_ref[0].astype(jnp.float32),
+        p.astype(v_ref.dtype),
+        v_ref[0],
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     o_ref[0] = o.astype(o_ref.dtype)
 

@@ -101,3 +101,92 @@ def setup_reference():
 
         pr.packaging = _packaging
     return True
+
+
+def setup_reference_training():
+    """Extend setup_reference() so the reference's TRAINER runs on this host:
+    stub the albumentations submodules its data layer imports (the parity
+    runs pass augmentator=None, so none execute), give the torchvision stub a
+    real ToTensor, build the vendored DinoVisionTransformer instead of
+    torch.hub (zero egress), and pin the trainer to CPU (its get_device
+    hardcodes CUDA; this torch build is CPU-only). Returns False when the
+    reference tree is absent."""
+    if not setup_reference():
+        return False
+    import numpy as np
+    import torch
+
+    alb = sys.modules["albumentations"]
+    alb.__path__ = []  # mark as package so submodule imports resolve
+    for sym in ("Compose", "ReplayCompose", "BasicTransform", "DualTransform",
+                "ImageOnlyTransform"):
+        if not hasattr(alb, sym):
+            setattr(alb, sym,
+                    type(sym, (), {"__init__": lambda self, *a, **k: None}))
+    for name, attrs in (
+        ("albumentations.augmentations", {"functional": types.ModuleType("F")}),
+        ("albumentations.core", {}),
+        ("albumentations.core.serialization", {"SERIALIZABLE_REGISTRY": {}}),
+        ("albumentations.core.transforms_interface",
+         {"to_tuple": lambda *a, **k: tuple(a)}),
+    ):
+        mod = sys.modules.get(name) or types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+    sys.modules["albumentations.augmentations.functional"] = \
+        sys.modules["albumentations.augmentations"].functional
+
+    if "easydict" not in sys.modules:
+        ed_mod = types.ModuleType("easydict")
+
+        class _EasyDict(dict):
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+            def __setattr__(self, k, v):
+                self[k] = v
+
+        ed_mod.EasyDict = _EasyDict
+        sys.modules["easydict"] = ed_mod
+
+    class _RealToTensor:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            arr = np.moveaxis(np.asarray(x), -1, 0).copy()
+            return torch.from_numpy(arr).float() / 255.0
+
+    sys.modules["torchvision.transforms"].ToTensor = _RealToTensor
+
+    from core.model.featurizers.DINOv2 import DinoVisionTransformer
+
+    def _local_dinov2(repo, arch, **kw):
+        assert arch == "dinov2_vits14", arch
+        return DinoVisionTransformer(img_size=518, patch_size=14,
+                                     embed_dim=384, depth=12, num_heads=6,
+                                     mlp_ratio=4, init_values=1.0)
+
+    torch.hub.load = _local_dinov2
+    torch.cuda.synchronize = lambda *a, **k: None
+
+    import core.training.trainer as ref_trainer_mod
+
+    ref_trainer_mod.get_device = lambda cfg: torch.device("cpu")
+
+    class _NopSW:
+        def __init__(self, *a, **k):
+            pass
+
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_image(self, *a, **k):
+            pass
+
+    ref_trainer_mod.SummaryWriterAvg = _NopSW
+    return True

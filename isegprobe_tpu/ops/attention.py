@@ -9,6 +9,15 @@ VMEM. The Pallas kernel therefore fuses QKᵀ → mask → softmax → PV per qu
 block with no HBM roundtrip of the attention matrix; queries are blocked so the
 same kernel scales to longer sequences (the blockwise structure is where a
 ring/context-parallel axis would attach if ever needed).
+
+Known environment flake (tunnel-attached chips only): the axon remote AOT
+compile helper intermittently rejects the bf16 kernel with ``Mosaic failed to
+compile TPU kernel: Bad lhs type`` and then appears to serve the failure for
+the same program hash on retry. The identical kernel compiles and matches the
+jnp path (≤1e-3) when the surrounding program differs trivially (e.g. a
+different sequence length), so this is not a kernel bug — on a direct-attached
+chip it does not reproduce. Workaround if hit: retry with a fresh program
+(any shape change) or fall back to ``impl='jnp'``.
 """
 
 from __future__ import annotations
@@ -42,14 +51,14 @@ def _mha_jnp(q, k, v, scale):
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
     q = q_ref[0]  # [bq, d] — input dtype: bf16 inputs ride the bf16 MXU
     k = k_ref[0]  # [Np, d]
-    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
+    # f32 accumulation always; only force HIGHEST contraction for f32 inputs
+    # (an explicit precision on bf16 operands makes Mosaic upcast one side
+    # and reject the mixed matmul)
+    mm = dict(preferred_element_type=jnp.float32)
+    if q.dtype == jnp.float32:
+        mm["precision"] = jax.lax.Precision.HIGHEST
     s = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,  # f32 accumulate regardless
-        precision=prec,
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())), **mm
     ) * scale  # [bq, Np] f32
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_valid, s, -jnp.inf)
@@ -57,12 +66,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.dot(
-        p.astype(v_ref.dtype),
-        v_ref[0],
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0], **mm)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -73,6 +77,9 @@ def _mha_pallas(q, k, v, scale, interpret=False):
     feature keys, reference: core/model/upsamplers/loftup/layers.py:177-202)."""
     b, nq, h, d = q.shape
     nk = k.shape[1]
+    # Mosaic rejects mixed-dtype matmuls; unify on q's dtype defensively
+    k = k.astype(q.dtype)
+    v = v.astype(q.dtype)
     bq = 128
     nq_pad = -(-nq // bq) * bq
     nk_pad = -(-nk // 128) * 128

@@ -51,12 +51,15 @@ def _mha_jnp(q, k, v, scale):
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
     q = q_ref[0]  # [bq, d] — input dtype: bf16 inputs ride the bf16 MXU
     k = k_ref[0]  # [Np, d]
-    # f32 accumulation always; only force HIGHEST contraction for f32 inputs
-    # (an explicit precision on bf16 operands makes Mosaic upcast one side
-    # and reject the mixed matmul)
-    mm = dict(preferred_element_type=jnp.float32)
-    if q.dtype == jnp.float32:
-        mm["precision"] = jax.lax.Precision.HIGHEST
+    # f32 accumulation always. The precision must be EXPLICIT: the package
+    # sets jax_default_matmul_precision=float32 globally (f32 NoC parity),
+    # and an unannotated bf16 dot_general would inherit fp32 contract
+    # precision, which Mosaic rejects on bf16 operands ("Bad lhs type").
+    # DEFAULT keeps bf16 inputs on the one-pass bf16 MXU; f32 inputs keep
+    # HIGHEST for exact parity with the jnp path.
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    mm = dict(preferred_element_type=jnp.float32, precision=prec)
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())), **mm
     ) * scale  # [bq, Np] f32
@@ -148,12 +151,28 @@ def mha(
     avoids the N² score materialization — from ~8k tokens (N=9216: 14.9 vs
     17.6 ms). Reference workloads top out at 2305 tokens (DAVIS 672²), so
     'auto' means jnp there and pallas only for long-sequence probing.
+
+    The second 'auto' trigger is TOTAL attention-matrix size, not sequence
+    length: XLA materializes the full [B, H, Nq, Nk] f32 score tensor to HBM
+    (it does not flash-fuse attention), so at serving batch the bf16 jnp path
+    turns bandwidth-bound — a profiler trace of the batch-8 flip-TTA device
+    eval (docs/PERF.md) shows ~400 MB per ViT block, ~24 ms/click across 12
+    blocks. For bf16 inputs with a score tensor over ~64 MB the VMEM-resident
+    Pallas kernel wins regardless of N, so 'auto' switches to it there
+    (≥ batch 4 flip-TTA at 448²); the single-sample latency path (50 MB)
+    stays on the measured jnp side, as does all-f32 serving (measured slower
+    through the kernel: 81 vs 95 clicks/s batch-8 — f32 MXU passes cost more
+    than the HBM roundtrip saves).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if impl == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        impl = "pallas" if (on_tpu and q.shape[1] > 4096) else "jnp"
+        score_bytes = 4 * q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1]
+        big_bf16 = q.dtype == jnp.bfloat16 and score_bytes > 64e6
+        impl = ("pallas"
+                if on_tpu and (q.shape[1] > 4096 or big_bf16)
+                else "jnp")
     if impl == "jnp":
         return _mha_jnp(q, k, v, scale)
     if impl == "pallas":

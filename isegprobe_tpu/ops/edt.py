@@ -102,26 +102,22 @@ def _column_pass(zero: jnp.ndarray) -> jnp.ndarray:
     zero: [..., H, W] bool (True where the mask is background/zero).
     Returns float32 [..., H, W]; _BIG where the column has no zero.
 
-    The running distance d_i = min(a_i, d_{i±1} + 1) (a_i = 0 at zeros, ∞
-    elsewhere) is a first-order min-plus recurrence whose step functions
-    x ↦ min(m, x + k) compose associatively — so both directions run as
-    log-depth ``associative_scan``s instead of H-step sequential scans (an
-    898-step lax.scan of tiny updates is dispatch-bound on TPU).  All values
-    are integers ≤ _BIG + H, exact in f32.
+    The vertical distance decomposes as d_i = min(i − lastzero_i,
+    nextzero_i − i): the index of the nearest zero above is a running max of
+    (i if zero else −∞) and below a reverse running min — each a log-depth
+    ``cummax``/``cummin`` over ONE array (the equivalent min-plus pair-scan
+    carries (m, k) tuples and moves twice the HBM bytes per level; an
+    H-step sequential lax.scan is dispatch-bound on TPU).  All values are
+    integers ≤ _BIG + H, exact in f32.
     """
-    a = jnp.where(zero, 0.0, _BIG).astype(jnp.float32)
-    ones = jnp.ones_like(a)
-
-    def combine(earlier, later):
-        m_e, k_e = earlier
-        m_l, k_l = later
-        return jnp.minimum(m_l, m_e + k_l), k_e + k_l
-
-    axis = a.ndim - 2  # associative_scan's reverse path needs it nonnegative
-    d_down, _ = jax.lax.associative_scan(combine, (a, ones), axis=axis)
-    d_up, _ = jax.lax.associative_scan(combine, (a, ones), axis=axis,
-                                       reverse=True)
-    return jnp.minimum(jnp.minimum(d_down, d_up), _BIG)
+    axis = zero.ndim - 2  # scan's reverse path needs it nonnegative
+    idx_shape = [1] * zero.ndim
+    idx_shape[axis] = zero.shape[axis]
+    idx = jnp.arange(zero.shape[axis], dtype=jnp.float32).reshape(idx_shape)
+    lastz = jax.lax.cummax(jnp.where(zero, idx, -_BIG), axis=axis)
+    nextz = jax.lax.cummin(jnp.where(zero, idx, 2 * _BIG), axis=axis,
+                           reverse=True)
+    return jnp.minimum(jnp.minimum(idx - lastz, nextz - idx), _BIG)
 
 
 def _edt_row_kernel(g2_ref, o_ref, *, wp):

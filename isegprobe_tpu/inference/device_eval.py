@@ -44,6 +44,7 @@ import numpy as np
 
 from isegprobe_tpu.ops.edt import next_click_from_error
 from isegprobe_tpu.ops.sample import crop_resize, inverse_paste
+from isegprobe_tpu.utils.misc import stamped
 
 
 def _bbox_from_mask(mask: jnp.ndarray):
@@ -400,13 +401,19 @@ def make_device_evaluator(
             new = {**st, **sel, **fin}
             if use_cache:
                 new["trunk"], new["trunk_roi"] = trunk, trunk_roi
-            # finished lanes freeze: keep their old state verbatim
-            out = {}
-            for k, v in new.items():
-                old = st[k]
-                if v is old:
-                    out[k] = v
-                    continue
+            # Finished lanes freeze — but only the OUTPUTS need the freeze:
+            # ious/n are the results, and done/n drive the loop condition.
+            # The rest of a finished lane's state (prev, not_clicked, click
+            # lists, ROI, cached trunk) may keep evolving harmlessly: nothing
+            # it influences can reach a frozen lane's ious/n again, and the
+            # trunk-recompute predicate is already masked by ``active``.
+            # Freezing everything costs a whole-frame select per state array
+            # per click (5 fewer selects in the compiled loop body; measured
+            # ~0.7 ms/click less pad/copy traffic in the batch-8 trace,
+            # docs/PERF.md).
+            out = dict(new)
+            for k in ("ious", "n", "done"):
+                v, old = new[k], st[k]
                 mask = active.reshape((-1,) + (1,) * (v.ndim - 1))
                 out[k] = jnp.where(mask, v, old)
             return out
@@ -421,9 +428,9 @@ def make_device_evaluator(
             )
             return ious[0], n[0]
 
-        return jax.jit(run_one)
+        return jax.jit(stamped(run_one))
     if mesh is None:
-        return jax.jit(run_batched)
+        return jax.jit(stamped(run_batched))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -434,7 +441,7 @@ def make_device_evaluator(
     shard = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     return jax.jit(
-        run_batched,
+        stamped(run_batched),
         in_shardings=(rep, shard, shard, shard),
         out_shardings=(shard, shard),
     )

@@ -35,6 +35,7 @@ from isegprobe_tpu.utils.misc import (
     expand_bbox,
     get_bbox_from_mask,
     get_bbox_iou,
+    stamped,
 )
 
 Bbox = Tuple[int, int, int, int]
@@ -110,9 +111,11 @@ class TPUPredictor:
                 == "after_backbone"
             )
             self._compiled[idx] = (
-                jax.jit(functools.partial(self._click_step_fn, model)),
-                jax.jit(functools.partial(self._trunk_step_fn, model)),
-                jax.jit(functools.partial(self._cached_click_step_fn, model)),
+                jax.jit(stamped(functools.partial(self._click_step_fn, model))),
+                jax.jit(stamped(functools.partial(self._trunk_step_fn, model))),
+                jax.jit(
+                    stamped(functools.partial(self._cached_click_step_fn, model))
+                ),
                 cache_backbone,
             )
         (self._step, self._trunk_fn, self._cached_step,
@@ -417,9 +420,9 @@ class TransformChainPredictor:
         self.with_prev_mask = getattr(model, "with_prev_mask", False)
         self.original_image: Optional[np.ndarray] = None
         self.prev_prediction: Optional[np.ndarray] = None
-        self._forward = jax.jit(
+        self._forward = jax.jit(stamped(
             lambda p, x, pts: model.apply({"params": p}, x, pts)["instances"]
-        )
+        ))
 
     def set_input_image(self, image: np.ndarray) -> None:
         if image.dtype == np.uint8:

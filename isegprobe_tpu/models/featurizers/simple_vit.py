@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from isegprobe_tpu.ops.attention import mha
 from isegprobe_tpu.models.vit import posemb_sincos_2d
+from isegprobe_tpu.models.vit import mm_precision
 
 
 def _pair(t):
@@ -33,13 +34,15 @@ class _SimpleAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.heads * self.dim_head
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       precision=mm_precision(self.dtype), name="to_qkv")(x)
         b, n, _ = qkv.shape
         qkv = qkv.reshape(b, n, 3, self.heads, self.dim_head)
         out = mha(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2],
                   scale=self.dim_head**-0.5, impl=self.attn_impl)
         out = out.reshape(b, n, inner)
-        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        return nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                        precision=mm_precision(self.dtype), name="to_out")(out)
 
 
 class _SimpleFeedForward(nn.Module):
@@ -50,9 +53,11 @@ class _SimpleFeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     precision=mm_precision(self.dtype), name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return nn.Dense(self.dim, dtype=self.dtype,
+                        precision=mm_precision(self.dtype), name="fc2")(x)
 
 
 class SimpleViTFeaturizer(nn.Module):
@@ -78,7 +83,8 @@ class SimpleViTFeaturizer(nn.Module):
         x = img.reshape(b, gh, ph, gw, pw, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, ph * pw * c)
         x = nn.LayerNorm(dtype=self.dtype, name="patch_norm1")(x)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="patch_proj")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype,
+                     precision=mm_precision(self.dtype), name="patch_proj")(x)
         x = nn.LayerNorm(dtype=self.dtype, name="patch_norm2")(x)
 
         pe = jnp.asarray(posemb_sincos_2d(gh, gw, self.dim))

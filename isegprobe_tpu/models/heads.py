@@ -11,6 +11,7 @@ from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
+from isegprobe_tpu.models.vit import mm_precision
 
 
 class SimpleClassifierHead(nn.Module):
@@ -22,7 +23,8 @@ class SimpleClassifierHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="classifier")(x)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       precision=mm_precision(self.dtype), name="classifier")(x)
 
 
 class SimpleConvSegHead(nn.Module):
@@ -37,9 +39,11 @@ class SimpleConvSegHead(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = nn.Conv(self.in_channels, (1, 1), dtype=self.dtype,
+                        precision=mm_precision(self.dtype),
                         name=f"convs_{i}")(x)
             x = nn.relu(x)
-        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="classifier")(x)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       precision=mm_precision(self.dtype), name="classifier")(x)
 
 
 class ConvSegHead(nn.Module):
@@ -55,9 +59,11 @@ class ConvSegHead(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = nn.Conv(self.in_channels, (3, 3), padding=1, dtype=self.dtype,
+                        precision=mm_precision(self.dtype),
                         name=f"convs_{i}")(x)
             x = nn.relu(x)
-        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="classifier")(x)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       precision=mm_precision(self.dtype), name="classifier")(x)
 
 
 HEAD_REGISTRY = {

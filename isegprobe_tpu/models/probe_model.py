@@ -28,6 +28,7 @@ from isegprobe_tpu.models.upsamplers import UPSAMPLER_REGISTRY, _register_learne
 from isegprobe_tpu.models.vit import PatchEmbed
 from isegprobe_tpu.ops.dist_maps import encode_clicks
 from isegprobe_tpu.ops.resize import resize
+from isegprobe_tpu.models.vit import mm_precision
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -105,10 +106,11 @@ class RITMMapsTransform(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(16, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(16, (1, 1), dtype=self.dtype,
+                    precision=mm_precision(self.dtype), name="conv1")(x)
         x = nn.leaky_relu(x, 0.2) if self.use_leaky_relu else nn.relu(x)
         x = nn.Conv(64, (3, 3), strides=2, padding=1, dtype=self.dtype,
-                    name="conv2")(x)
+                    precision=mm_precision(self.dtype), name="conv2")(x)
         return ScaleLayer(init_value=0.05, name="scale")(x)
 
 

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from isegprobe_tpu.ops.pool import adaptive_pool
+from isegprobe_tpu.models.vit import mm_precision
 
 
 class FrozenBatchNorm(nn.Module):
@@ -109,4 +110,5 @@ class LiFTUpsampler(nn.Module):
         x = jnp.concatenate([x, g1.astype(x.dtype)], axis=-1)
         x = _DoubleConv(c // 2, dtype=self.dtype, name="up_conv")(x)
 
-        return nn.Conv(c, (1, 1), dtype=self.dtype, name="outc")(x)
+        return nn.Conv(c, (1, 1), dtype=self.dtype,
+                       precision=mm_precision(self.dtype), name="outc")(x)

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from isegprobe_tpu.ops.attention import mha
+from isegprobe_tpu.ops.attention import mha, mha_qkv
+from isegprobe_tpu.ops.layernorm import layernorm
 from isegprobe_tpu.ops.resize import resize
 
 
@@ -57,6 +58,22 @@ class ViTConfig:
     attn_impl: str = "auto"
 
 
+def mm_precision(dtype) -> jax.lax.Precision | None:
+    """Matmul precision for a module of compute dtype ``dtype``.
+
+    The package pins ``jax_default_matmul_precision=float32`` globally so f32
+    matmuls are exact (torch parity). bf16 layers override it with an
+    explicit DEFAULT: (a) Mosaic rejects bf16 Pallas dots that inherit the
+    f32 contract precision ("Bad lhs type", ops/attention.py), and (b) the
+    intent — one-pass bf16 MXU with f32 accumulation — should not depend on a
+    global flag. On the current libtpu the XLA-side timing is precision-
+    insensitive for bf16 operands (measured equal across
+    None/DEFAULT/HIGHEST, docs/PERF.md), so this is about correctness of
+    intent and kernel compatibility, not an XLA speedup. f32 returns None =
+    inherit the global exact setting."""
+    return None if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _act_fn(name: str, x: jnp.ndarray) -> jnp.ndarray:
     if name == "gelu":
         return jax.nn.gelu(x, approximate=False)
@@ -83,6 +100,7 @@ class PatchEmbed(nn.Module):
             padding="VALID",
             use_bias=self.use_bias,
             dtype=self.dtype,
+            precision=mm_precision(self.dtype),
             name="proj",
         )(x)
         b, h, w, d = x.shape
@@ -101,12 +119,21 @@ class Attention(nn.Module):
     def __call__(self, x: jnp.ndarray, return_k: bool = False):
         b, n, c = x.shape
         dh = c // self.num_heads
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, Dh]
-        out = mha(q, k, v, scale=dh**-0.5, impl=self.attn_impl)
-        out = out.reshape(b, n, c)
-        out = nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype, name="proj")(out)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       precision=mm_precision(self.dtype), name="qkv")(x)
+        if return_k:
+            # DINO key-probing needs k back: take the generic split path
+            t = qkv.reshape(b, n, 3, self.num_heads, dh)
+            q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]  # [B, N, H, Dh]
+            out = mha(q, k, v, scale=dh**-0.5, impl=self.attn_impl)
+            out = out.reshape(b, n, c)
+        else:
+            # packed path: the fused kernel consumes qkv with one relayout
+            out = mha_qkv(qkv, self.num_heads, scale=dh**-0.5,
+                          impl=self.attn_impl)
+            k = None
+        out = nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype,
+                       precision=mm_precision(self.dtype), name="proj")(out)
         if return_k:
             return out, k
         return out
@@ -122,9 +149,10 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype,
-                     name="fc1")(x)
+                     precision=mm_precision(self.dtype), name="fc1")(x)
         x = _act_fn(self.act, x)
-        x = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype,
+                     precision=mm_precision(self.dtype), name="fc2")(x)
         return x
 
 
@@ -140,13 +168,44 @@ class LayerScale(nn.Module):
         return x * gamma
 
 
+class FusedLayerNorm(nn.Module):
+    """Drop-in for ``nn.LayerNorm`` (identical param names/shapes/numerics of
+    the f32-stats fast-variance default) backed by the one-pass Pallas kernel
+    in ops/layernorm.py — stats computed in f32 in registers, one HBM
+    read+write. Standalone this beats XLA's split stats/normalize fusions;
+    inside the full ViT forward XLA already fuses LN into the adjacent
+    matmuls, so the in-program effect is near-neutral (trace accounting in
+    docs/PERF.md) — the kernel's main value is for LN uses XLA cannot fuse
+    and as the pattern for row-wise fused ops."""
+
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        return layernorm(x.astype(self.dtype), scale, bias, eps=self.epsilon)
+
+
+def _ln(c: ViTConfig, name: str) -> nn.Module:
+    """f32 modules keep flax's ``nn.LayerNorm`` (bit-exact golden parity with
+    the torch reference); bf16 modules use the fused one-pass kernel, whose
+    f32-in-register stats differ from XLA's only in reduction order — the
+    bf16 output rounding absorbs it (tests/test_layernorm.py)."""
+    if c.dtype == jnp.float32:
+        return nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name=name)
+    return FusedLayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name=name)
+
+
 class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_k: bool = False):
         c = self.cfg
-        h = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm1")(x)
+        h = _ln(c, name="norm1")(x)
         attn = Attention(
             c.embed_dim, c.num_heads, c.qkv_bias, c.proj_bias, c.dtype, c.attn_impl,
             name="attn",
@@ -158,7 +217,7 @@ class Block(nn.Module):
         if c.layerscale:
             a = LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(a)
         x = x + a
-        h2 = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm2")(x)
+        h2 = _ln(c, name="norm2")(x)
         m = Mlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), c.act, c.ffn_bias,
                 c.dtype, name="mlp")(h2)
         if c.layerscale:
@@ -197,7 +256,7 @@ class ViT(nn.Module):
             (1, n_tokens, c.embed_dim),
         )
         self.blocks = [Block(c, name=f"blocks_{i}") for i in range(c.depth)]
-        self.norm = nn.LayerNorm(epsilon=c.norm_eps, dtype=c.dtype, name="norm")
+        self.norm = _ln(c, name="norm")
 
     def interpolated_pos_embed(self, grid_hw: tuple[int, int]) -> jnp.ndarray:
         """Bicubic pos-embed interpolation to a new token grid, with the

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mha"]
+__all__ = ["mha", "mha_qkv"]
 
 
 def _mha_jnp(q, k, v, scale):
@@ -46,6 +46,119 @@ def _mha_jnp(q, k, v, scale):
     out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v, precision=prec,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
+
+
+def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
+    """Self-attention step on pre-packed [BH, N, dh] operands, masked grids
+    (no host-visible pads): K/V blocks span the FULL unpadded N (legal since
+    a Pallas block dim may equal the whole dim), and the partial last query
+    block relies on Mosaic's write clipping — garbage out-of-bounds query
+    rows never mix across rows and are never written."""
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    mm = dict(preferred_element_type=jnp.float32, precision=prec)
+    q = q_ref[0]  # [bq, dh]
+    k = k_ref[0]  # [N, dh]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())), **mm
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_valid, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(p.astype(v_ref.dtype), v_ref[0], **mm).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _mha_qkv_pallas(qkv, num_heads, scale, interpret=False):
+    """Fused self-attention consuming the PACKED qkv tensor [B, N, 3C].
+
+    The generic path pays 4 relayout copies + 2 pads per call (per-tensor
+    moveaxis/reshape/pad of q, k, v and the output — ~1 GB of HBM copy
+    traffic per click at serving batch, docs/PERF.md). Here a single
+    transpose of the reused qkv tensor produces [3, B·H, N, dh] and the
+    grids are masked instead of padded. Measured at the serving shape
+    ([16,1025,6·64] bf16): 1.02 vs 1.18 ms/call."""
+    b, n, three_c = qkv.shape
+    c = three_c // 3
+    dh = c // num_heads
+    t = qkv.reshape(b, n, 3, num_heads, dh)
+    t = jnp.transpose(t, (2, 0, 3, 1, 4)).reshape(3, b * num_heads, n, dh)
+    bq = min(256, n)
+    grid = (b * num_heads, -(-n // bq))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_packed, scale=scale, n_valid=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, dh), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, dh), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, dh), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dh), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * num_heads, n, dh), qkv.dtype),
+        interpret=interpret,
+    )(t[0], t[1], t[2])
+    out = out.reshape(b, num_heads, n, dh)
+    return jnp.moveaxis(out, 1, 2).reshape(b, n, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _mha_qkv_pallas_ad(qkv, num_heads, scale, interpret=False):
+    return _mha_qkv_pallas(qkv, num_heads, scale, interpret)
+
+
+def _mha_qkv_jnp(qkv, num_heads, scale):
+    b, n, three_c = qkv.shape
+    c = three_c // 3
+    t = qkv.reshape(b, n, 3, num_heads, c // num_heads)
+    out = _mha_jnp(t[:, :, 0], t[:, :, 1], t[:, :, 2], scale)
+    return out.reshape(b, n, c)
+
+
+def _mha_qkv_pallas_ad_fwd(qkv, num_heads, scale, interpret=False):
+    return _mha_qkv_pallas(qkv, num_heads, scale, interpret), (qkv,)
+
+
+def _mha_qkv_pallas_ad_bwd(num_heads, scale, interpret, residuals, g):
+    (qkv,) = residuals
+    _, vjp = jax.vjp(lambda t: _mha_qkv_jnp(t, num_heads, scale), qkv)
+    return vjp(g)
+
+
+_mha_qkv_pallas_ad.defvjp(_mha_qkv_pallas_ad_fwd, _mha_qkv_pallas_ad_bwd)
+
+
+def mha_qkv(
+    qkv: jnp.ndarray,
+    num_heads: int,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Self-attention over a PACKED [B, N, 3·C] qkv tensor -> [B, N, C].
+
+    Same semantics as splitting qkv into [B, N, H, Dh] q/k/v and calling
+    ``mha`` — but the pallas path consumes the packed tensor with ONE
+    relayout instead of four (docstring of _mha_qkv_pallas). ``auto``
+    follows mha's measured policy (jnp at small scale / f32, fused kernel
+    for big-bf16 or long sequences)."""
+    b, n, three_c = qkv.shape
+    c = three_c // 3
+    dh = c // num_heads
+    if scale is None:
+        scale = dh**-0.5
+    if impl == "auto":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        score_bytes = 4 * b * num_heads * n * n
+        big_bf16 = qkv.dtype == jnp.bfloat16 and score_bytes > 64e6
+        impl = "pallas" if on_tpu and (n > 4096 or big_bf16) else "jnp"
+    if impl == "jnp":
+        return _mha_qkv_jnp(qkv, num_heads, scale)
+    if impl == "pallas":
+        return _mha_qkv_pallas_ad(qkv, num_heads, scale)
+    if impl == "pallas_interpret":
+        return _mha_qkv_pallas_ad(qkv, num_heads, scale, True)
+    raise ValueError(f"Unknown attention impl: {impl}")
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):

@@ -120,20 +120,25 @@ def _column_pass(zero: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(jnp.minimum(idx - lastz, nextz - idx), _BIG)
 
 
-def _edt_row_kernel(g2_ref, o_ref, *, wp):
+def _edt_row_kernel(g2_ref, d2_ref, o_ref):
     """One (row-block, source-block) step of the lower envelope.
 
     Everything stays in VMEM: the XLA scan version of this pass materializes
     [.., W, 128] candidate tensors in HBM each block and is HBM-bound
-    (~14 ms/click at DAVIS scale); here the same brute-force min-plus runs at
-    VPU speed (~0.5 ms).
+    (~14 ms/click at DAVIS scale). Layout matters as much as residency: the
+    min over the 128 candidate sources runs along SUBLANES — per output row,
+    ``src[c] + dist2[c, j]`` is a [128 sublanes, wp lanes] tile reduced over
+    sublanes — because a lane-axis min (the naive [th, wp, 128] formulation)
+    lowers to log-depth cross-lane shuffles and measures 2.1x slower
+    (5.75 -> 2.37 ms for the batch-8 clicker shape, docs/PERF.md). The
+    (j−c)² table arrives precomputed per source block via ``d2_ref``.
     """
     s = pl.program_id(1)
     src = g2_ref[...]  # [th, 128] squared column distances of source block s
-    jidx = jax.lax.broadcasted_iota(jnp.int32, (wp, 128), 0)
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (wp, 128), 1) + s * 128
-    diff = (jidx - cidx).astype(jnp.float32)
-    cand = jnp.min(src[:, None, :] + (diff * diff)[None], axis=-1)  # [th, wp]
+    d2b = d2_ref[0]  # [128, wp]: (j - (s*128+c))² with sources on sublanes
+    cand = jnp.stack(
+        [jnp.min(src[r][:, None] + d2b, axis=0) for r in range(src.shape[0])]
+    )  # [th, wp]
 
     @pl.when(s == 0)
     def _init():
@@ -146,26 +151,30 @@ def _edt_row_kernel(g2_ref, o_ref, *, wp):
 
 def _row_envelope_pallas(g: jnp.ndarray) -> jnp.ndarray:
     """Pallas row pass: exact integers in f32, identical to the scan path."""
-    import functools as _ft
-
     w = g.shape[-1]
     lead = g.shape[:-1]
     n = int(np.prod(lead)) if lead else 1
     g2 = jnp.square(g).reshape(n, w)
 
-    th = 8
+    th = 16
     wp = -(-w // 128) * 128
     npad = (-n) % th
     # pad sources with "infinitely far" columns (values are already squared)
     g2 = jnp.pad(g2, ((0, npad), (0, wp - w)), constant_values=_BIG**2)
+    j = jnp.arange(wp, dtype=jnp.float32)
+    c = jnp.arange(wp, dtype=jnp.float32)
+    dist2 = jnp.square(j[None, None, :] - c.reshape(wp // 128, 128, 1))
 
     d2 = pl.pallas_call(
-        _ft.partial(_edt_row_kernel, wp=wp),
+        _edt_row_kernel,
         grid=((n + npad) // th, wp // 128),
-        in_specs=[pl.BlockSpec((th, 128), lambda i, s: (i, s))],
+        in_specs=[
+            pl.BlockSpec((th, 128), lambda i, s: (i, s)),
+            pl.BlockSpec((1, 128, wp), lambda i, s: (s, 0, 0)),
+        ],
         out_specs=pl.BlockSpec((th, wp), lambda i, s: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n + npad, wp), jnp.float32),
-    )(g2)
+    )(g2, dist2)
     return jnp.minimum(d2[:n, :w], _BIG**2).reshape(*lead, w)
 
 

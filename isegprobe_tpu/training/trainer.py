@@ -43,6 +43,7 @@ from isegprobe_tpu.parallel.mesh import (
     replicate,
 )
 from isegprobe_tpu.training.optim import make_optimizer, multistep_lr
+from isegprobe_tpu.utils.misc import stamped
 from isegprobe_tpu.utils.viz import draw_points, draw_probmap
 from isegprobe_tpu.utils.serialization import (
     load_checkpoint,
@@ -238,9 +239,9 @@ class iSegTrainer:
         self.rng = jax.random.PRNGKey(self.seed + 1)
 
         self._train_step = jax.jit(
-            partial(self._step, training=True), donate_argnums=(0, 1)
+            stamped(partial(self._step, training=True)), donate_argnums=(0, 1)
         )
-        self._val_step = jax.jit(partial(self._step, training=False))
+        self._val_step = jax.jit(stamped(partial(self._step, training=False)))
 
         self.is_master = process_is_master()
         self.epoch_losses: List[float] = []

@@ -93,6 +93,58 @@ def enable_compile_cache(path: str = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 
+_CODE_FINGERPRINT: str | None = None
+
+
+def code_fingerprint() -> str:
+    """Content hash of every ``isegprobe_tpu`` source file (cached per process).
+
+    Exists because of a measured axon-tunnel hazard: the remote TPU compile
+    helper caches executables by *program name + shapes*, not HLO content —
+    after a source edit, a re-jitted program with the same function name can
+    silently run the STALE binary (observed: byte-identical profiler traces
+    across semantically different device-eval builds; renaming the jitted
+    function forced a true recompile). Stamping long-lived jitted programs
+    with this fingerprint (``stamped``) makes the cache key
+    content-dependent, so edits always recompile and unchanged code still
+    gets cache hits."""
+    global _CODE_FINGERPRINT
+    if _CODE_FINGERPRINT is None:
+        import hashlib
+        from pathlib import Path
+
+        pkg = Path(__file__).resolve().parents[1]
+        h = hashlib.md5()
+        for p in sorted(pkg.rglob("*.py")):
+            h.update(str(p.relative_to(pkg)).encode())
+            h.update(p.read_bytes())
+        _CODE_FINGERPRINT = h.hexdigest()[:10]
+    return _CODE_FINGERPRINT
+
+
+def stamped(fn):
+    """Rename ``fn`` to ``<name>_<code_fingerprint>`` before ``jax.jit``.
+
+    jax uses ``__name__`` for the XLA module name, which the axon compile
+    cache keys on (see code_fingerprint). Apply to every long-lived compiled
+    program (device-eval loop, train step, predictor click step).
+    ``functools.partial`` objects (no settable ``__name__``) get a thin
+    renamed wrapper."""
+    base = getattr(fn, "__name__", None) or getattr(
+        getattr(fn, "func", None), "__name__", "fn")
+    name = f"{base}_{code_fingerprint()}"
+    try:
+        fn.__name__ = name
+        fn.__qualname__ = name
+        return fn
+    except AttributeError:
+        def wrapper(*args, **kwargs):
+            return fn(*args, **kwargs)
+
+        wrapper.__name__ = wrapper.__qualname__ = name
+        return wrapper
+
+
 def seed_all(seed: int) -> None:
     """Seed Python and NumPy RNGs. JAX randomness is already explicit via keys."""
     random.seed(seed)

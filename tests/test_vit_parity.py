@@ -133,3 +133,39 @@ def test_pallas_attention_matches_jnp():
     want = np.asarray(mha(q, k, v, impl="jnp"))
     got = np.asarray(mha(q, k, v, impl="pallas_interpret"))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_packed_qkv_attention_matches_split():
+    """mha_qkv (packed, masked-grid kernel) == split-q/k/v mha, including a
+    non-divisible token count (the 1025-token serving shape's hazard)."""
+    from isegprobe_tpu.ops.attention import mha, mha_qkv
+
+    rng = np.random.default_rng(4)
+    b, n, h, dh = 2, 131, 4, 64
+    qkv = jnp.asarray(rng.standard_normal((b, n, 3 * h * dh), dtype=np.float32))
+    t = qkv.reshape(b, n, 3, h, dh)
+    want = np.asarray(
+        mha(t[:, :, 0], t[:, :, 1], t[:, :, 2], impl="jnp")
+    ).reshape(b, n, h * dh)
+    got_jnp = np.asarray(mha_qkv(qkv, h, impl="jnp"))
+    got_kern = np.asarray(mha_qkv(qkv, h, impl="pallas_interpret"))
+    np.testing.assert_allclose(got_jnp, want, rtol=0, atol=0)  # same graph
+    np.testing.assert_allclose(got_kern, want, rtol=1e-5, atol=1e-5)
+
+
+def test_packed_qkv_attention_grad():
+    """The custom-VJP backward (jnp-graph recompute) matches end-to-end
+    autodiff through the jnp path."""
+    from isegprobe_tpu.ops.attention import mha_qkv
+
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.standard_normal((1, 48, 3 * 2 * 64), dtype=np.float32))
+
+    import jax
+
+    def loss(impl):
+        return lambda t: jnp.sum(jnp.sin(mha_qkv(t, 2, impl=impl)))
+
+    gk = np.asarray(jax.grad(loss("pallas_interpret"))(qkv))
+    gj = np.asarray(jax.grad(loss("jnp"))(qkv))
+    np.testing.assert_allclose(gk, gj, rtol=1e-4, atol=1e-5)

@@ -41,6 +41,7 @@ class DINOv2Featurizer(nn.Module):
     pretrain_grid: Any = None
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    remat_blocks: bool = False  # recompute blocks in bwd (high-res training)
 
     @property
     def patch_size(self) -> int:
@@ -57,7 +58,8 @@ class DINOv2Featurizer(nn.Module):
             raise ValueError(f"Unknown injection mode: {self.feats_injection_mode}")
         import dataclasses
 
-        overrides = dict(dtype=self.dtype, attn_impl=self.attn_impl)
+        overrides = dict(dtype=self.dtype, attn_impl=self.attn_impl,
+                         remat_blocks=self.remat_blocks)
         if self.pretrain_grid is not None:
             overrides["pretrain_grid"] = tuple(self.pretrain_grid)
         cfg = dataclasses.replace(DINOV2_ARCHS[self.arch], **overrides)

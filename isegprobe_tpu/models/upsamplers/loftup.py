@@ -218,30 +218,51 @@ class LoftUpUpsampler(nn.Module):
     query_chunk_rows: int = 64
     query_chunk_min_pixels: int = 120_000
 
-    @nn.compact
-    def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
+        # setup-style (attribute name == param scope name, matching the
+        # pre-refactor explicit names) so the banded slab body can run under
+        # ``nn.remat`` — training at 448² otherwise stores every slab's
+        # cross-attention residuals at once and OOMs HBM; with remat the
+        # backward recomputes one slab at a time.
         dim = self.n_dim
-        lr_pe_dim = 2 * 5 * 2  # sine PE: ImplicitFeaturizer(no color, n_freqs=5)
-        cdim = dim + lr_pe_dim
+        self._cdim = dim + 2 * 5 * 2  # + sine PE (no color, n_freqs=5)
+        self.channelnorm = ChannelNorm(dim)
+        self.lr_pe = ImplicitFeaturizer(False, 5, True)
+        self.fourier_feat = ImplicitFeaturizer(True, self.n_freqs, True)
+        self.first_norm = ChannelNorm(2 * self.n_freqs * 5 + 3)
+        self.first_conv1 = _ConvBNRelu(self._cdim)
+        self.first_conv2 = _ConvBNRelu(self._cdim)
+        self.ca_transformer = CATransformer(
+            self._cdim, self.num_layers, self.num_heads, dim, self.attn_impl)
+        self.final_conv = nn.Conv(dim, (1, 1))
+        self.final_ln = ConvNeXtLayerNorm(dim)
 
-        source = ChannelNorm(dim, name="channelnorm")(source)
+    def _slab(self, x_rows, kv, row_coords, in_frame):
+        """Query tower for one horizontal slab (+2-row halo): Fourier stem ->
+        convs (out-of-frame rows re-zeroed after each, reproducing the
+        monolithic convs' zero padding) -> cross-attention -> head."""
+        b = x_rows.shape[0]
+        w = x_rows.shape[2]
+        xb = self.fourier_feat(x_rows, row_coords=row_coords)
+        xb = self.first_norm(xb)
+        xb = xb * in_frame[None, :, None, None]
+        xb = self.first_conv1(xb)[:, 1:-1] * in_frame[1:-1][None, :, None, None]
+        xb = self.first_conv2(xb)[:, 1:-1]  # [b, chunk, w, cdim], exact
+        chunk = xb.shape[1]
+        qb = xb.reshape(b, chunk * w, self._cdim)
+        ob = self.ca_transformer(qb, kv)
+        ob = ob.reshape(b, chunk, w, self._cdim)
+        return self.final_ln(self.final_conv(ob))
+
+    def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
+        cdim = self._cdim
+        source = self.channelnorm(source)
 
         # keys/values from LR features + sine positional features
-        lr_pe = ImplicitFeaturizer(False, 5, True, name="lr_pe")(source)
+        lr_pe = self.lr_pe(source)
         kv = jnp.concatenate([source, lr_pe], axis=-1)
         b = source.shape[0]
         kv = kv.reshape(b, -1, cdim)
-
-        # query-side modules (instantiated once; banded path reuses them)
-        fourier = ImplicitFeaturizer(True, self.n_freqs, True,
-                                     name="fourier_feat")
-        first_norm = ChannelNorm(2 * self.n_freqs * 5 + 3, name="first_norm")
-        conv1 = _ConvBNRelu(cdim, name="first_conv1")
-        conv2 = _ConvBNRelu(cdim, name="first_conv2")
-        cat = CATransformer(cdim, self.num_layers, self.num_heads, dim,
-                            self.attn_impl, name="ca_transformer")
-        final_conv = nn.Conv(dim, (1, 1), name="final_conv")
-        final_ln = ConvNeXtLayerNorm(dim, name="final_ln")
 
         h, w = guidance.shape[1], guidance.shape[2]
         x_scaled = min_max_scale(guidance)  # global (batch+space): pre-band
@@ -255,16 +276,19 @@ class LoftUpUpsampler(nn.Module):
         )
 
         if not use_bands:
-            x = fourier(x_scaled)
-            x = first_norm(x)
-            x = conv1(x)
-            x = conv2(x)
+            x = self.fourier_feat(x_scaled)
+            x = self.first_norm(x)
+            x = self.first_conv1(x)
+            x = self.first_conv2(x)
             q = x.reshape(b, h * w, cdim)
-            out = cat(q, kv)
+            out = self.ca_transformer(q, kv)
             out = out.reshape(b, h, w, cdim)
-            return final_ln(final_conv(out))
+            return self.final_ln(self.final_conv(out))
 
         rows = jnp.linspace(-1.0, 1.0, h)
+        # remat: backward recomputes each slab instead of keeping all slabs'
+        # residuals live (forward-only eval is unaffected)
+        slab = nn.remat(type(self)._slab)
         outs = []
         for r0 in range(0, h, chunk):
             # slab + 2-row halo; out-of-frame rows are zeroed after the norm,
@@ -272,16 +296,5 @@ class LoftUpUpsampler(nn.Module):
             band = jnp.arange(r0 - 2, r0 + chunk + 2)
             idx = jnp.clip(band, 0, h - 1)
             in_frame = ((band >= 0) & (band < h)).astype(x_scaled.dtype)
-            xb = fourier(x_scaled[:, idx], row_coords=rows[idx])
-            xb = first_norm(xb)
-            xb = xb * in_frame[None, :, None, None]
-            # re-zero out-of-frame rows after EACH conv: the monolithic convs
-            # see literal zero padding there, while a band conv's receptive
-            # field reaches real rows through the halo
-            xb = conv1(xb)[:, 1:-1] * in_frame[1:-1][None, :, None, None]
-            xb = conv2(xb)[:, 1:-1]  # [b, chunk, w, cdim], exact
-            qb = xb.reshape(b, chunk * w, cdim)
-            ob = cat(qb, kv)
-            ob = ob.reshape(b, chunk, w, cdim)
-            outs.append(final_ln(final_conv(ob)))
+            outs.append(slab(self, x_scaled[:, idx], kv, rows[idx], in_frame))
         return jnp.concatenate(outs, axis=1)

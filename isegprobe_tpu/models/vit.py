@@ -56,6 +56,10 @@ class ViTConfig:
     interpolate_offset: float | None = 0.1
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    # rematerialize each transformer block in the backward pass: activations
+    # per block are recomputed instead of stored — the TPU-native memory/
+    # compute trade for training at high resolution (e.g. 448² LoftUp runs)
+    remat_blocks: bool = False
 
 
 def mm_precision(dtype) -> jax.lax.Precision | None:
@@ -309,12 +313,14 @@ class ViT(nn.Module):
         x = tokens + pe
 
         last_k = None
+        blk_call = (nn.remat(lambda mdl, t: mdl(t)) if c.remat_blocks
+                    else (lambda mdl, t: mdl(t)))
         for i, blk in enumerate(self.blocks):
             want_k = return_last_k and i == c.depth - 1
             if want_k:
                 x, last_k = blk(x, return_k=True)
             else:
-                x = blk(x)
+                x = blk_call(blk, x)
         x = self.norm(x)
 
         out = {

@@ -152,19 +152,29 @@ def make_device_evaluator(
 
     # ---- per-lane protocol pieces (vmapped over the sample axis) ----------
 
-    def _init_lane(image_hw3, gt_pad, valid_hw):
-        # uint8 images normalize on device — the host uploads 4x fewer bytes
-        # per sample (the tunnel transfer dominates single-sample dispatch)
+    def _norm_img(image_hw3):
+        """Normalize at READ time: the loop state keeps the image in its
+        original dtype (uint8 for every real dataset), so each click's
+        full-frame crop read pulls 1 byte/px from HBM instead of 4 — XLA
+        fuses the convert+/255 into the crop matmul's operand read. The
+        values reaching the interpolation are bit-identical to storing the
+        normalized f32 frame (f32(u8)/255 is the same f32 either way)."""
         if jnp.issubdtype(image_hw3.dtype, jnp.integer):
-            image_hw3 = image_hw3.astype(jnp.float32) / 255.0
+            return image_hw3.astype(jnp.float32) / 255.0
+        return image_hw3
+
+    def _in_valid_mask(hp, wp, valid_hw):
+        rr = jnp.arange(hp)[:, None]
+        cc = jnp.arange(wp)[None, :]
+        return (rr < valid_hw[0]) & (cc < valid_hw[1])
+
+    def _init_lane(image_hw3, gt_pad, valid_hw):
         hp, wp = image_hw3.shape[0], image_hw3.shape[1]
 
         gt = gt_pad == 1
-        # ignore everything outside the valid extent
-        rr = jnp.arange(hp)[:, None]
-        cc = jnp.arange(wp)[None, :]
-        in_valid = (rr < valid_hw[0]) & (cc < valid_hw[1])
-        not_ignore = (gt_pad != -1) & in_valid
+        # ignore everything outside the valid extent; in_valid itself is two
+        # fused iota-compares — recomputed per use, never stored full-frame
+        not_ignore = (gt_pad != -1) & _in_valid_mask(hp, wp, valid_hw)
 
         full_roi = jnp.asarray([0, 0, 0, 0], jnp.int32).at[1].set(
             valid_hw[0] - 1
@@ -175,7 +185,6 @@ def make_device_evaluator(
             image=image_hw3,
             gt=gt,
             not_ignore=not_ignore,
-            in_valid=in_valid,
             valid_hw=valid_hw,
             full_roi=full_roi,
             # mutable protocol state
@@ -240,7 +249,8 @@ def make_device_evaluator(
         # a candidate ROI exists only when the PREDICTED mask is non-empty
         # (zoom_in.py:65-73); positive clicks are then added into the mask
         # before the bbox (zoom_in.py:203-207)
-        roi_mask_pred = (prev2d > roi_prob_thresh) & st["in_valid"]
+        roi_mask_pred = (prev2d > roi_prob_thresh) & _in_valid_mask(
+            hp, wp, st["valid_hw"])
         has_mask = jnp.any(roi_mask_pred)
         pos_click_mask = jnp.zeros((hp, wp), jnp.bool_).at[
             pos_pts[:, 0].astype(jnp.int32).clip(0, hp - 1),
@@ -288,9 +298,16 @@ def make_device_evaluator(
         return jnp.where(valid[..., None], pts, -1.0), valid
 
     def _lane_crop_pts(image, prev, roi, points):
-        """Model inputs for one lane: [nflip, oh, ow, C] crop + points."""
-        inp = jnp.concatenate([image, prev], axis=-1) if with_prev else image
-        crop = crop_resize(inp[None], roi, (oh, ow))[0]
+        """Model inputs for one lane: [nflip, oh, ow, C] crop + points.
+
+        Image and prev-mask crop separately and concat at 448² — cropping a
+        pre-concatenated [hp, wp, 4] frame would materialize a full-frame f32
+        copy per lane per click and force the image read up to f32 width;
+        per-channel linear interpolation makes the split bit-identical."""
+        crop = crop_resize(_norm_img(image)[None], roi, (oh, ow))[0]
+        if with_prev:
+            crop = jnp.concatenate(
+                [crop, crop_resize(prev[None], roi, (oh, ow))[0]], axis=-1)
         pts, valid = _roi_points(roi, points)
         if with_flip:
             crop = jnp.stack([crop, crop[:, ::-1]], axis=0)
@@ -308,7 +325,7 @@ def make_device_evaluator(
 
     def _lane_trunk_crop(image, roi):
         """Image-only ROI crop feeding the click-independent trunk."""
-        crop = crop_resize(image[None], roi, (oh, ow))[0]
+        crop = crop_resize(_norm_img(image)[None], roi, (oh, ow))[0]
         if with_flip:
             return jnp.stack([crop, crop[:, ::-1]], axis=0)
         return crop[None]

@@ -240,10 +240,23 @@ def main() -> None:
 
                 from isegprobe_tpu.inference.device_eval import (
                     evaluate_dataset_device,
+                    evaluate_dataset_refill,
                     make_device_evaluator,
                 )
 
                 device_batch = int(eval_cfg.get("device_batch", 1))
+                device_refill = bool(eval_cfg.get("device_refill", False))
+                if device_refill and device_batch <= 1:
+                    logger.warning(
+                        "device_refill=true ignored: continuous batching "
+                        f"needs device_batch>1 (got {device_batch})")
+                    device_refill = False
+                if device_refill and eval_cfg.get("device_mesh", False):
+                    logger.warning(
+                        "device_refill=true ignored with device_mesh: the "
+                        "refill path is single-chip; use the lockstep "
+                        "mesh-sharded path")
+                    device_refill = False
                 mesh = None
                 if eval_cfg.get("device_mesh", False):
                     # shard the sample axis over every chip (data axis);
@@ -278,12 +291,19 @@ def main() -> None:
                     pred_thr=eval_cfg.thresh, target_iou=eval_cfg.target_iou,
                     with_flip=True, batch_size=device_batch, mesh=mesh,
                     trunk_cache=str(eval_cfg.get("trunk_cache", "auto")),
+                    refill_api=device_refill,
+                    chunk_clicks=int(eval_cfg.get("chunk_clicks", 4)),
                 )
                 t0 = _time()
-                all_ious = evaluate_dataset_device(
-                    run, params, dataset, batch_size=device_batch,
-                    sample_times=sample_times,
-                )
+                if device_refill:
+                    all_ious = evaluate_dataset_refill(
+                        run, params, dataset, sample_times=sample_times,
+                    )
+                else:
+                    all_ious = evaluate_dataset_device(
+                        run, params, dataset, batch_size=device_batch,
+                        sample_times=sample_times,
+                    )
                 elapsed = _time() - t0
             else:
                 all_ious, elapsed = evaluate_dataset(

@@ -47,6 +47,20 @@ from isegprobe_tpu.ops.sample import crop_resize, inverse_paste
 from isegprobe_tpu.utils.misc import stamped
 
 
+class _RefillEvaluator:
+    """Handle bundle for the continuous-batching eval API
+    (``make_device_evaluator(..., refill_api=True)``): jitted ``init`` /
+    ``step`` / ``refill`` / ``retire`` over the loop-state pytree."""
+
+    def __init__(self, init, step, refill, retire, batch_size, max_clicks):
+        self.init = init
+        self.step = step
+        self.refill = refill
+        self.retire = retire
+        self.batch_size = batch_size
+        self.max_clicks = max_clicks
+
+
 def _bbox_from_mask(mask: jnp.ndarray):
     """Inclusive bbox of a non-empty [H, W] bool mask (f32 scalars)."""
     h, w = mask.shape
@@ -107,6 +121,8 @@ def make_device_evaluator(
     batch_size: int = 1,
     mesh=None,
     trunk_cache: str = "auto",
+    refill_api: bool = False,
+    chunk_clicks: int = 4,
 ):
     """Build a jitted ``run(params, image_pad, gt_pad, valid_hw)`` evaluating
     samples entirely on device. Returns (ious [max_clicks], n_clicks).
@@ -383,60 +399,128 @@ def make_device_evaluator(
 
     # ---- the compiled protocol loop ---------------------------------------
 
-    def run_batched(params, images, gts, valid_hws):
+    def _init_state(params, images, gts, valid_hws):
         st = jax.vmap(_init_lane)(images, gts, valid_hws)
         if use_cache:
             # serves click 1: the first ROI candidate with an empty prediction
             # is the full frame, which this trunk was computed for
             st["trunk"] = _batched_trunk(params, st["image"], st["roi"])
             st["trunk_roi"] = st["roi"]
+        return st
 
-        def cond(st):
-            return jnp.any((~st["done"]) & (st["n"] < max_clicks))
+    def _cond(st):
+        return jnp.any((~st["done"]) & (st["n"] < max_clicks))
 
-        def body(st):
-            active = (~st["done"]) & (st["n"] < max_clicks)
-            sel, points = jax.vmap(_lane_select)(st)
-            crops, ptss = jax.vmap(_lane_crop_pts)(
-                st["image"], st["prev"], sel["roi"], points
+    def _body(params, st):
+        active = (~st["done"]) & (st["n"] < max_clicks)
+        sel, points = jax.vmap(_lane_select)(st)
+        crops, ptss = jax.vmap(_lane_crop_pts)(
+            st["image"], st["prev"], sel["roi"], points
+        )
+        if use_cache:
+            changed = jnp.any(
+                jnp.any(sel["roi"] != st["trunk_roi"], axis=-1) & active
             )
-            if use_cache:
-                changed = jnp.any(
-                    jnp.any(sel["roi"] != st["trunk_roi"], axis=-1) & active
-                )
-                trunk, trunk_roi = jax.lax.cond(
-                    changed,
-                    lambda: (_batched_trunk(params, st["image"], sel["roi"]),
-                             sel["roi"]),
-                    lambda: (st["trunk"], st["trunk_roi"]),
-                )
-                probs = _batched_forward_cached(params, crops, ptss, trunk)
-            else:
-                probs = _batched_forward(params, crops, ptss)
-            fin = jax.vmap(_lane_finish)(st, sel["roi"], probs)
+            trunk, trunk_roi = jax.lax.cond(
+                changed,
+                lambda: (_batched_trunk(params, st["image"], sel["roi"]),
+                         sel["roi"]),
+                lambda: (st["trunk"], st["trunk_roi"]),
+            )
+            probs = _batched_forward_cached(params, crops, ptss, trunk)
+        else:
+            probs = _batched_forward(params, crops, ptss)
+        fin = jax.vmap(_lane_finish)(st, sel["roi"], probs)
 
-            new = {**st, **sel, **fin}
+        new = {**st, **sel, **fin}
+        if use_cache:
+            new["trunk"], new["trunk_roi"] = trunk, trunk_roi
+        # Finished lanes freeze — but only the OUTPUTS need the freeze:
+        # ious/n are the results, and done/n drive the loop condition.
+        # The rest of a finished lane's state (prev, not_clicked, click
+        # lists, ROI, cached trunk) may keep evolving harmlessly: nothing
+        # it influences can reach a frozen lane's ious/n again, and the
+        # trunk-recompute predicate is already masked by ``active``.
+        # Freezing everything costs a whole-frame select per state array
+        # per click (5 fewer selects in the compiled loop body; measured
+        # ~0.7 ms/click less pad/copy traffic in the batch-8 trace,
+        # docs/PERF.md).
+        out = dict(new)
+        for k in ("ious", "n", "done"):
+            v, old = new[k], st[k]
+            mask = active.reshape((-1,) + (1,) * (v.ndim - 1))
+            out[k] = jnp.where(mask, v, old)
+        return out
+
+    def run_batched(params, images, gts, valid_hws):
+        st = _init_state(params, images, gts, valid_hws)
+        st = jax.lax.while_loop(_cond, lambda s: _body(params, s), st)
+        return st["ious"], st["n"]
+
+    # ---- continuous-batching API (lane-level refill) -----------------------
+    # The lockstep `run_batched` pays for stragglers: every lane computes
+    # until the SLOWEST lane in its batch finishes, so real-dataset
+    # throughput degrades by mean(n)/max(n) per batch. The refill API
+    # instead exposes the loop in resumable chunks so the host can swap a
+    # finished lane's state for a fresh sample between chunks — the
+    # interactive-segmentation analogue of continuous batching in LLM
+    # serving. Lanes are protocol-independent (the only batch-level
+    # decision, the trunk-recompute predicate, recomputes *values* that are
+    # identical either way), so per-sample trajectories are unchanged by
+    # batch composition (tests/test_refill_eval.py).
+
+    if refill_api:
+        if batch_size <= 1:
+            raise ValueError("refill_api requires batch_size > 1")
+
+        def refill_init(params, images, gts, valid_hws):
+            return _init_state(params, images, gts, valid_hws)
+
+        def refill_step(params, st):
+            # up to `chunk_clicks` clicks, stopping early if every lane is
+            # done — between chunks the host collects finished lanes and
+            # refills them with fresh samples
+            def cond(c):
+                return (c[0] < chunk_clicks) & _cond(c[1])
+
+            def body(c):
+                return c[0] + 1, _body(params, c[1])
+
+            _, st = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0, jnp.int32), st))
+            return st
+
+        def refill_lane(st, lane, image, gt_pad, valid_hw):
+            """Replace one lane's state with a freshly-initialized sample."""
+            fresh = _init_lane(image, gt_pad, valid_hw)
+            out = dict(st)
+            for k, v in fresh.items():
+                out[k] = st[k].at[lane].set(v)
             if use_cache:
-                new["trunk"], new["trunk_roi"] = trunk, trunk_roi
-            # Finished lanes freeze — but only the OUTPUTS need the freeze:
-            # ious/n are the results, and done/n drive the loop condition.
-            # The rest of a finished lane's state (prev, not_clicked, click
-            # lists, ROI, cached trunk) may keep evolving harmlessly: nothing
-            # it influences can reach a frozen lane's ious/n again, and the
-            # trunk-recompute predicate is already masked by ``active``.
-            # Freezing everything costs a whole-frame select per state array
-            # per click (5 fewer selects in the compiled loop body; measured
-            # ~0.7 ms/click less pad/copy traffic in the batch-8 trace,
-            # docs/PERF.md).
-            out = dict(new)
-            for k in ("ious", "n", "done"):
-                v, old = new[k], st[k]
-                mask = active.reshape((-1,) + (1,) * (v.ndim - 1))
-                out[k] = jnp.where(mask, v, old)
+                # poison the lane's cached-trunk ROI: the next click's
+                # batch-level recompute predicate then refreshes every
+                # lane's trunk from its current ROI (identical values for
+                # unchanged lanes)
+                out["trunk_roi"] = st["trunk_roi"].at[lane].set(-1)
             return out
 
-        st = jax.lax.while_loop(cond, body, st)
-        return st["ious"], st["n"]
+        def retire_lane(st, lane):
+            """Freeze a lane permanently (no more jobs to assign)."""
+            return {**st, "done": st["done"].at[lane].set(True)}
+
+        # donate the big state pytree so step/refill update it in place on
+        # device (CPU ignores donation; skip there to keep tests warning-free)
+        on_cpu = jax.default_backend() == "cpu"
+        d1 = {} if on_cpu else {"donate_argnums": (1,)}
+        d0 = {} if on_cpu else {"donate_argnums": (0,)}
+        return _RefillEvaluator(
+            init=jax.jit(stamped(refill_init)),
+            step=jax.jit(stamped(refill_step), **d1),
+            refill=jax.jit(stamped(refill_lane), **d0),
+            retire=jax.jit(stamped(retire_lane), **d0),
+            batch_size=batch_size,
+            max_clicks=max_clicks,
+        )
 
     if batch_size == 1:
         def run_one(params, image, gt_pad, valid_hw):
@@ -589,4 +673,83 @@ def evaluate_dataset_device(run_fn, params, dataset, depth: int = 2,
             _drain(pending.popleft())
     while pending:
         _drain(pending.popleft())
+    return results
+
+
+def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
+                            sample_times: Optional[list] = None):
+    """Continuous-batching dataset evaluation (`refill_api=True` evaluator).
+
+    The lockstep batched path (`evaluate_dataset_device`, batch_size>1) runs
+    every lane of a batch until the batch's SLOWEST sample finishes — easy
+    samples (2-3 clicks) burn full forwards while a 20-click straggler
+    drains, so utilization is mean(n)/max(n) per batch. Here the compiled
+    loop runs in resumable `chunk_clicks`-click chunks; between chunks the
+    host collects finished lanes and swaps in fresh samples on-device
+    (`refill` scatters one lane's new state; the image upload is the same
+    data a fresh batch would ship). Per-sample trajectories are identical to
+    the lockstep and per-sample paths — lanes are protocol-independent —
+    so this changes throughput, never results (tests/test_refill_eval.py).
+
+    Jobs are grouped by padded bucket shape (lanes of one state share a
+    static frame shape); refill happens within a group. Returns per-sample
+    iou arrays in dataset order; ``sample_times`` (a list) collects each
+    sample's submit→finish wall, including chunk-granularity waiting.
+    """
+    from time import time as _time
+
+    jobs = []
+    for index in range(len(dataset)):
+        sample = dataset.get_sample(index)
+        for object_id in sample.objects_ids:
+            jobs.append(_pad_job(sample.image, sample.gt_mask(object_id),
+                                 bucket))
+    by_shape = {}
+    for order_idx, (img, gt, hw) in enumerate(jobs):
+        by_shape.setdefault(img.shape, []).append((order_idx, img, gt, hw))
+
+    results = [None] * len(jobs)
+    b = ev.batch_size
+    for group in by_shape.values():
+        first = group[:b]
+        pad = [first[-1]] * (b - len(first))  # duplicate-pad, retired below
+        fill = first + pad
+        st = ev.init(
+            params,
+            jnp.asarray(np.stack([j[1] for j in fill])),
+            jnp.asarray(np.stack([j[2] for j in fill])),
+            jnp.asarray(np.stack([j[3] for j in fill])),
+        )
+        t0 = _time()
+        assigned = {lane: fill[lane][0] for lane in range(len(first))}
+        t_start = {lane: t0 for lane in assigned}
+        for lane in range(len(first), b):
+            st = ev.retire(st, lane)
+        next_i = len(first)
+
+        while assigned:
+            st = ev.step(params, st)
+            n_b = np.asarray(st["n"])
+            done_b = np.asarray(st["done"])
+            fin = [lane for lane in assigned
+                   if done_b[lane] or n_b[lane] >= ev.max_clicks]
+            if not fin:
+                continue
+            ious_b = np.asarray(st["ious"])
+            now = _time()
+            for lane in fin:
+                results[assigned[lane]] = ious_b[lane][: int(n_b[lane])]
+                if sample_times is not None:
+                    sample_times.append(now - t_start[lane])
+                if next_i < len(group):
+                    oi, img, gt, hw = group[next_i]
+                    next_i += 1
+                    st = ev.refill(st, lane, jnp.asarray(img),
+                                   jnp.asarray(gt), jnp.asarray(hw))
+                    assigned[lane] = oi
+                    t_start[lane] = now
+                else:
+                    st = ev.retire(st, lane)
+                    del assigned[lane]
+                    del t_start[lane]
     return results

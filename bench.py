@@ -158,6 +158,70 @@ def measure_batched_throughput(batch_size: int = 8, dtype=None) -> float:
     return sum(len(a) for a in ious) / dt
 
 
+def measure_refill_vs_lockstep(batch_size: int = 8, n_samples: int = 24,
+                               target_iou: float = 0.90):
+    """Real-workload dataset eval (trained checkpoint, varied-difficulty
+    scenes, stop at target IoU): useful clicks/s for the lockstep batched
+    loop vs the continuous-batching refill path. The synthetic headline
+    throughput above deliberately runs every lane to 20 clicks (uniform
+    work, no straggler effect); this measures the straggler waste refill
+    exists to remove. Returns (lockstep_cps, refill_cps) or None if the
+    committed trained checkpoint is unavailable."""
+    import jax.numpy as jnp
+
+    from isegprobe_tpu.data.datasets.synthetic import SyntheticShapesDataset
+    from isegprobe_tpu.inference.device_eval import (
+        evaluate_dataset_device,
+        evaluate_dataset_refill,
+        make_device_evaluator,
+    )
+
+    ckpt = Path(__file__).parent / "assets" / "trained" / \
+        "synthetic_dinov2_noup_160ep.ckpt"
+    if not ckpt.exists():
+        return None
+    from evaluate import load_model_for_eval
+
+    model, params = load_model_for_eval(str(ckpt), _EvalCfg(),
+                                        target_size=(448, 448))
+
+    ds = SyntheticShapesDataset(n_samples=n_samples, image_size=(375, 500),
+                                min_shapes=1, max_shapes=3, seed=23,
+                                min_instance_area=900)
+
+    class _Eval:
+        def __len__(self):
+            return n_samples
+
+        def get_sample(self, i):
+            return ds.get_sample(i)
+
+    common = dict(target_size=(448, 448), max_clicks=20, net_clicks_limit=20,
+                  pred_thr=0.49, target_iou=target_iou, with_flip=True)
+    lock = make_device_evaluator(model, batch_size=batch_size, **common)
+    refill = make_device_evaluator(model, batch_size=batch_size,
+                                   refill_api=True, chunk_clicks=4, **common)
+
+    evaluate_dataset_device(lock, params, _Eval(), batch_size=batch_size)
+    t0 = time.perf_counter()
+    ious_l = evaluate_dataset_device(lock, params, _Eval(),
+                                     batch_size=batch_size)
+    lock_cps = sum(len(a) for a in ious_l) / (time.perf_counter() - t0)
+
+    evaluate_dataset_refill(refill, params, _Eval())
+    t0 = time.perf_counter()
+    ious_r = evaluate_dataset_refill(refill, params, _Eval())
+    refill_cps = sum(len(a) for a in ious_r) / (time.perf_counter() - t0)
+    return lock_cps, refill_cps
+
+
+class _EvalCfg(dict):
+    """Minimal eval_cfg shim for load_model_for_eval (dtype only)."""
+
+    def get(self, key, default=None):
+        return "bfloat16" if key == "dtype" else default
+
+
 def measure_torch_baseline() -> float:
     """One-off reference measurement (cached): the same arch in torch on this
     host. Returns p50 seconds per forward-equivalent click."""
@@ -222,6 +286,10 @@ def main():
     cached_ms, uncached_ms = measure_trunk_cache(dtype=jnp.bfloat16)
     clicks_per_s = measure_batched_throughput(8)
     clicks_per_s_bf16 = measure_batched_throughput(8, dtype=jnp.bfloat16)
+    try:
+        refill_pair = measure_refill_vs_lockstep()
+    except Exception:
+        refill_pair = None
     baseline_s = measure_torch_baseline()
     vs = (baseline_s * 1000 / p50_ms) if np.isfinite(baseline_s) else None
     # MFU vs NOMINAL v5e matmul peaks: ~49 TF/s f32, ~197 TF/s bf16 (394 is
@@ -250,6 +318,14 @@ def main():
         "trunk_cache_speedup": round(uncached_ms / cached_ms, 2),
         "mfu_f32_pct": round(mfu_f32, 2),
         "mfu_bf16_batched_pct": round(mfu_bf16_batched, 2),
+        # trained-checkpoint real workload (stop at IoU 0.9): straggler-bound
+        # lockstep vs continuous-batching refill, useful clicks/s
+        "trained_lockstep_clicks_per_s": (
+            round(refill_pair[0], 1) if refill_pair else None),
+        "trained_refill_clicks_per_s": (
+            round(refill_pair[1], 1) if refill_pair else None),
+        "refill_speedup": (
+            round(refill_pair[1] / refill_pair[0], 2) if refill_pair else None),
     }))
 
 

@@ -23,4 +23,3 @@ import jax as _jax
 # reference (torch f32) requires full f32 precision when inputs are f32.
 # bfloat16-dtype modules are unaffected (bf16 inputs stay one-pass fast).
 _jax.config.update("jax_default_matmul_precision", "float32")
-# fp-salt 1786995839

@@ -288,7 +288,14 @@ def main():
     clicks_per_s_bf16 = measure_batched_throughput(8, dtype=jnp.bfloat16)
     try:
         refill_pair = measure_refill_vs_lockstep()
-    except Exception:
+    except Exception as e:
+        # keep stdout to the single JSON line; a real failure must still be
+        # visible (None otherwise only means "trained checkpoint absent")
+        import sys
+        import traceback
+
+        print(f"refill-vs-lockstep leg failed: {e!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
         refill_pair = None
     baseline_s = measure_torch_baseline()
     vs = (baseline_s * 1000 / p50_ms) if np.isfinite(baseline_s) else None

@@ -165,6 +165,20 @@ def make_device_evaluator(
         trunk_cache == "on"
         or (trunk_cache == "auto" and injection == "after_backbone")
     )
+    if refill_api and chunk_clicks < 1:
+        raise ValueError(f"chunk_clicks must be >= 1, got {chunk_clicks} "
+                         "(a 0-click chunk would make the refill driver spin)")
+
+    # Program-name salt: protocol thresholds and the model config are BAKED
+    # constants — two evaluators differing only in e.g. target_iou produce
+    # identical names and input shapes, which the axon executable cache
+    # cannot tell apart (utils/misc.py: stamped).
+    cfg_salt = (
+        repr(model), target_size, max_clicks, net_clicks_limit, pred_thr,
+        target_iou, with_flip, roi_prob_thresh, expansion_ratio,
+        min_crop_size, recompute_thresh_iou, batch_size, use_cache,
+        chunk_clicks,
+    )
 
     # ---- per-lane protocol pieces (vmapped over the sample axis) ----------
 
@@ -490,18 +504,21 @@ def make_device_evaluator(
                 cond, body, (jnp.asarray(0, jnp.int32), st))
             return st
 
-        def refill_lane(st, lane, image, gt_pad, valid_hw):
+        def refill_lane(params, st, lane, image, gt_pad, valid_hw):
             """Replace one lane's state with a freshly-initialized sample."""
             fresh = _init_lane(image, gt_pad, valid_hw)
             out = dict(st)
             for k, v in fresh.items():
                 out[k] = st[k].at[lane].set(v)
             if use_cache:
-                # poison the lane's cached-trunk ROI: the next click's
-                # batch-level recompute predicate then refreshes every
-                # lane's trunk from its current ROI (identical values for
-                # unchanged lanes)
-                out["trunk_roi"] = st["trunk_roi"].at[lane].set(-1)
+                # compute ONLY the fresh lane's trunk (full-frame ROI, same
+                # as _init_state) and scatter it in — poisoning trunk_roi
+                # instead would trip the batch-global recompute predicate on
+                # the next click and re-run every lane's trunk per refill
+                trunk = _batched_trunk(params, fresh["image"][None],
+                                       fresh["roi"][None])
+                out["trunk"] = st["trunk"].at[lane].set(trunk[0])
+                out["trunk_roi"] = st["trunk_roi"].at[lane].set(fresh["roi"])
             return out
 
         def retire_lane(st, lane):
@@ -514,10 +531,10 @@ def make_device_evaluator(
         d1 = {} if on_cpu else {"donate_argnums": (1,)}
         d0 = {} if on_cpu else {"donate_argnums": (0,)}
         return _RefillEvaluator(
-            init=jax.jit(stamped(refill_init)),
-            step=jax.jit(stamped(refill_step), **d1),
-            refill=jax.jit(stamped(refill_lane), **d0),
-            retire=jax.jit(stamped(retire_lane), **d0),
+            init=jax.jit(stamped(refill_init, cfg_salt)),
+            step=jax.jit(stamped(refill_step, cfg_salt), **d1),
+            refill=jax.jit(stamped(refill_lane, cfg_salt), **d1),
+            retire=jax.jit(stamped(retire_lane, cfg_salt), **d0),
             batch_size=batch_size,
             max_clicks=max_clicks,
         )
@@ -529,9 +546,9 @@ def make_device_evaluator(
             )
             return ious[0], n[0]
 
-        return jax.jit(stamped(run_one))
+        return jax.jit(stamped(run_one, cfg_salt))
     if mesh is None:
-        return jax.jit(stamped(run_batched))
+        return jax.jit(stamped(run_batched, cfg_salt))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -542,7 +559,7 @@ def make_device_evaluator(
     shard = NamedSharding(mesh, P("data"))
     rep = NamedSharding(mesh, P())
     return jax.jit(
-        stamped(run_batched),
+        stamped(run_batched, cfg_salt),
         in_shardings=(rep, shard, shard, shard),
         out_shardings=(shard, shard),
     )
@@ -561,6 +578,21 @@ def _pad_job(image: np.ndarray, gt_mask: np.ndarray, bucket: int):
     gt_pad = np.zeros((hp, wp), gt_dtype)
     gt_pad[:h, :w] = gt_mask
     return image_pad, gt_pad, np.asarray([h, w], np.int32)
+
+
+def _build_jobs(dataset, bucket: int):
+    """Walk the dataset into padded jobs, grouped by padded frame shape
+    (lanes of one compiled state must share a static shape)."""
+    jobs = []
+    for index in range(len(dataset)):
+        sample = dataset.get_sample(index)
+        for object_id in sample.objects_ids:
+            jobs.append(_pad_job(sample.image, sample.gt_mask(object_id),
+                                 bucket))
+    by_shape = {}
+    for order_idx, (img, gt, hw) in enumerate(jobs):
+        by_shape.setdefault(img.shape, []).append((order_idx, img, gt, hw))
+    return jobs, by_shape
 
 
 def submit_sample_device(
@@ -599,8 +631,12 @@ def evaluate_dataset_device(run_fn, params, dataset, depth: int = 2,
     chunked into batches (last chunk zero-padded and discarded after), and the
     whole protocol runs per batch in one dispatch.  Results always come back
     in dataset order.  ``sample_times`` (a list) collects one honest wall-time
-    entry per sample: the wall time of the dispatch group the sample completed
-    in — the real latency a user of the batched evaluator observes.
+    entry per sample: submit→completion of the dispatch group the sample
+    rode in — the real latency a user of the batched evaluator observes.
+    NOTE: with pipelining (``depth`` > 1) this INCLUDES time queued behind
+    earlier in-flight chunks' device compute (up to ~depth× a lone chunk's
+    wall); it is an end-to-end latency figure, not a per-chunk compute time —
+    don't compare it against unpipelined walls.
     """
     from collections import deque
     from time import time as _time
@@ -628,16 +664,7 @@ def evaluate_dataset_device(run_fn, params, dataset, depth: int = 2,
         return all_ious
 
     # ---- batched path: bucket-group -> chunk -> one dispatch per chunk ----
-    jobs = []  # (order_idx, image_pad, gt_pad, valid_hw)
-    for index in range(len(dataset)):
-        sample = dataset.get_sample(index)
-        for object_id in sample.objects_ids:
-            jobs.append(_pad_job(sample.image, sample.gt_mask(object_id),
-                                 bucket))
-    by_shape = {}
-    for order_idx, (img, gt, hw) in enumerate(jobs):
-        by_shape.setdefault(img.shape, []).append((order_idx, img, gt, hw))
-
+    jobs, by_shape = _build_jobs(dataset, bucket)
     results = [None] * len(jobs)
     chunks = []
     for group in by_shape.values():
@@ -698,16 +725,7 @@ def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
     """
     from time import time as _time
 
-    jobs = []
-    for index in range(len(dataset)):
-        sample = dataset.get_sample(index)
-        for object_id in sample.objects_ids:
-            jobs.append(_pad_job(sample.image, sample.gt_mask(object_id),
-                                 bucket))
-    by_shape = {}
-    for order_idx, (img, gt, hw) in enumerate(jobs):
-        by_shape.setdefault(img.shape, []).append((order_idx, img, gt, hw))
-
+    jobs, by_shape = _build_jobs(dataset, bucket)
     results = [None] * len(jobs)
     b = ev.batch_size
     for group in by_shape.values():
@@ -744,7 +762,7 @@ def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
                 if next_i < len(group):
                     oi, img, gt, hw = group[next_i]
                     next_i += 1
-                    st = ev.refill(st, lane, jnp.asarray(img),
+                    st = ev.refill(params, st, lane, jnp.asarray(img),
                                    jnp.asarray(gt), jnp.asarray(hw))
                     assigned[lane] = oi
                     t_start[lane] = now

@@ -110,11 +110,20 @@ class TPUPredictor:
                 (bcfg.get("params") or {}).get("feats_injection_mode")
                 == "after_backbone"
             )
+            # salt: config baked as traced constants (same shapes, different
+            # program — the axon cache can't tell them apart by name alone)
+            salt = (repr(model), self.target_size, self.skip_clicks,
+                    self.expansion_ratio, self.min_crop_size,
+                    self.recompute_thresh_iou, self.prob_thresh,
+                    self.net_clicks_limit, self.with_flip)
             self._compiled[idx] = (
-                jax.jit(stamped(functools.partial(self._click_step_fn, model))),
-                jax.jit(stamped(functools.partial(self._trunk_step_fn, model))),
+                jax.jit(stamped(functools.partial(self._click_step_fn, model),
+                                salt)),
+                jax.jit(stamped(functools.partial(self._trunk_step_fn, model),
+                                salt)),
                 jax.jit(
-                    stamped(functools.partial(self._cached_click_step_fn, model))
+                    stamped(functools.partial(self._cached_click_step_fn,
+                                              model), salt)
                 ),
                 cache_backbone,
             )
@@ -421,7 +430,8 @@ class TransformChainPredictor:
         self.original_image: Optional[np.ndarray] = None
         self.prev_prediction: Optional[np.ndarray] = None
         self._forward = jax.jit(stamped(
-            lambda p, x, pts: model.apply({"params": p}, x, pts)["instances"]
+            lambda p, x, pts: model.apply({"params": p}, x, pts)["instances"],
+            repr(model),
         ))
 
     def set_input_image(self, image: np.ndarray) -> None:

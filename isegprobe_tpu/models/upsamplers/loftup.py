@@ -54,10 +54,18 @@ class ConvNeXtLayerNorm(nn.Module):
 
 
 def min_max_scale(x: jnp.ndarray) -> jnp.ndarray:
-    """Per-channel global (batch+space) min-max to [-0.5, 0.5]
-    (reference: loftup/layers.py:61-71 — deliberately batch-coupled)."""
-    mn = x.min(axis=(0, 1, 2), keepdims=True)
-    mx = x.max(axis=(0, 1, 2), keepdims=True)
+    """Per-sample per-channel spatial min-max to [-0.5, 0.5].
+
+    The reference scaler (loftup/layers.py:61-71) reduces over batch+space,
+    but in its eval protocol the batch is only ever ONE sample's flip pair
+    (AddHorizontalFlip doubles the batch before the model), and a flip is a
+    spatial permutation — pair-coupled min/max equal per-sample min/max
+    bit-for-bit. Reducing per sample therefore preserves reference parity
+    everywhere while keeping lanes independent in the device-batched NoC
+    loop (a batch-coupled reduction would make each lane's prediction
+    depend on which other samples share its batch)."""
+    mn = x.min(axis=(1, 2), keepdims=True)
+    mx = x.max(axis=(1, 2), keepdims=True)
     return (x - mn) / jnp.clip(mx - mn, 1e-4) - 0.5
 
 
@@ -265,7 +273,7 @@ class LoftUpUpsampler(nn.Module):
         kv = kv.reshape(b, -1, cdim)
 
         h, w = guidance.shape[1], guidance.shape[2]
-        x_scaled = min_max_scale(guidance)  # global (batch+space): pre-band
+        x_scaled = min_max_scale(guidance)  # full-frame (pre-band) per sample
 
         chunk = self.query_chunk_rows
         if chunk > 0:  # largest divisor of h not above the requested rows

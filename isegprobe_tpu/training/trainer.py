@@ -238,10 +238,19 @@ class iSegTrainer:
         self.opt_state = replicate(self.tx.init(trainable), self.mesh)
         self.rng = jax.random.PRNGKey(self.seed + 1)
 
+        # salt: training constants baked into the traced step (loss weights,
+        # optimizer/schedule, click-sim depth, model config) — same shapes,
+        # different program; see utils/misc.py: stamped
+        step_salt = (repr(self.model), repr(loss_cfg), optimizer,
+                     repr(optimizer_params), layerwise_decay,
+                     repr(lr_scheduler), max_interactive_points,
+                     max_num_next_clicks, prev_mask_drop_prob, str(dtype))
         self._train_step = jax.jit(
-            stamped(partial(self._step, training=True)), donate_argnums=(0, 1)
+            stamped(partial(self._step, training=True), step_salt),
+            donate_argnums=(0, 1),
         )
-        self._val_step = jax.jit(stamped(partial(self._step, training=False)))
+        self._val_step = jax.jit(
+            stamped(partial(self._step, training=False), step_salt))
 
         self.is_master = process_is_master()
         self.epoch_losses: List[float] = []

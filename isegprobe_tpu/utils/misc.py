@@ -122,17 +122,31 @@ def code_fingerprint() -> str:
     return _CODE_FINGERPRINT
 
 
-def stamped(fn):
-    """Rename ``fn`` to ``<name>_<code_fingerprint>`` before ``jax.jit``.
+def stamped(fn, salt: object = None):
+    """Rename ``fn`` to ``<name>_<code_fingerprint>[_<salt-hash>]`` before
+    ``jax.jit``.
 
     jax uses ``__name__`` for the XLA module name, which the axon compile
     cache keys on (see code_fingerprint). Apply to every long-lived compiled
     program (device-eval loop, train step, predictor click step).
+
+    ``salt``: any value whose ``repr`` captures configuration that is BAKED
+    into the traced program as constants without changing input shapes
+    (thresholds like target_iou/pred_thr, loss weights, chunk sizes, the
+    model config). The package-source fingerprint alone cannot distinguish
+    two builds that differ only in such constants — same name + same shapes
+    would hit the stale cache entry. Factories must pass their constant
+    config here.
+
     ``functools.partial`` objects (no settable ``__name__``) get a thin
     renamed wrapper."""
     base = getattr(fn, "__name__", None) or getattr(
         getattr(fn, "func", None), "__name__", "fn")
     name = f"{base}_{code_fingerprint()}"
+    if salt is not None:
+        import hashlib
+
+        name += "_" + hashlib.md5(repr(salt).encode()).hexdigest()[:8]
     try:
         fn.__name__ = name
         fn.__qualname__ = name

@@ -120,6 +120,31 @@ def test_loftup_banded_queries_exact():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_loftup_batch_lane_independence():
+    """Each batch element's output must be independent of its batch-mates:
+    the device-batched NoC loop flattens B different samples into one apply,
+    so a batch-coupled reduction anywhere (the reference's MinMaxScaler
+    couples batch+space — equivalent to per-sample only because its eval
+    batch is a flip pair) would make results depend on batch composition."""
+    dim = 32
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.standard_normal((2, 4, 4, dim), dtype=np.float32))
+    # deliberately different value ranges so coupled min/max would differ
+    img = jnp.asarray(np.stack([
+        rng.random((28, 28, 3), dtype=np.float32) * 0.3,
+        rng.random((28, 28, 3), dtype=np.float32) * 0.9 + 0.1,
+    ]))
+
+    up = LoftUpUpsampler(n_dim=dim, attn_impl="jnp")
+    params = up.init(jax.random.PRNGKey(4), src, img)["params"]
+    batched = up.apply({"params": params}, src, img)
+    for i in range(2):
+        single = up.apply({"params": params}, src[i:i + 1], img[i:i + 1])
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(single[0]),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_jbu_shapes_and_finiteness():
     rng = np.random.default_rng(2)
     src = jnp.asarray(rng.standard_normal((1, 4, 4, 32), dtype=np.float32))

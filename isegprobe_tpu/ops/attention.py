@@ -103,9 +103,89 @@ def _mha_qkv_pallas(qkv, num_heads, scale, interpret=False):
     return jnp.moveaxis(out, 1, 2).reshape(b, n, c)
 
 
+def _attn_kernel_pairs(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
+    """Two heads per grid step, read straight from the packed [B, N, 3C]
+    layout: each 128-lane block holds a HEAD PAIR (dh=64), sliced in VMEM —
+    no HBM relayout on input or output."""
+    prec = (jax.lax.Precision.HIGHEST if q_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    mm = dict(preferred_element_type=jnp.float32, precision=prec)
+    q2 = q_ref[0]  # [bq, 128] = heads (2h, 2h+1) side by side
+    k2 = k_ref[0]  # [N, 128]
+    v2 = v_ref[0]  # [N, 128]
+    halves = []
+    for lo in (0, 64):
+        q = q2[:, lo:lo + 64]
+        k = k2[:, lo:lo + 64]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())), **mm
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        halves.append(jnp.dot(p.astype(v2.dtype), v2[:, lo:lo + 64], **mm))
+    o_ref[0] = jnp.concatenate(halves, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def _mha_qkv_pallas_pairs(qkv, num_heads, scale, interpret=False):
+    """Zero-relayout fused self-attention on the packed [B, N, 3C] tensor.
+
+    Requires dh == 64 and an even head count (true of every architecture in
+    the framework: ViT-S 6×64, CLIP-B 12×64, SimpleViT 8×64): a pair of
+    adjacent heads occupies one 128-lane block at a 128-aligned offset, so
+    three BlockSpecs with different lane-block index_maps read q/k/v for a
+    head pair DIRECTLY from the projection's output layout, and the output
+    block lands directly in the [B, N, C] layout the next matmul consumes.
+    Removes both the input transpose and the output moveaxis of
+    _mha_qkv_pallas (the remaining `copy` bucket in docs/PERF.md's per-click
+    attribution). Heads are sliced 64-wide inside VMEM, where the relayout
+    is register traffic, not HBM."""
+    b, n, three_c = qkv.shape
+    c = three_c // 3
+    dh = c // num_heads
+    assert dh == 64 and num_heads % 2 == 0, "pairs kernel needs dh=64, even H"
+    pairs = num_heads // 2
+    pc = c // 128  # lane-blocks per tensor = pairs
+    assert pc == pairs
+    bq = min(256, n)
+    grid = (b, pairs, -(-n // bq))
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_pairs, scale=scale, n_valid=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 128), lambda i, h, j: (i, j, h)),
+            pl.BlockSpec((1, n, 128), lambda i, h, j: (i, 0, pairs + h)),
+            pl.BlockSpec((1, n, 128), lambda i, h, j: (i, 0, 2 * pairs + h)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda i, h, j: (i, j, h)),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out
+
+
+def _mha_qkv_route(qkv, num_heads, scale, interpret=False):
+    c = qkv.shape[-1] // 3
+    eligible = (c % num_heads == 0 and c // num_heads == 64
+                and num_heads % 2 == 0)
+    # The pairs kernel is semantics-validated (interpret-mode parity tests)
+    # but its Mosaic legality on real hardware (64-lane in-VMEM slicing,
+    # lane-block index maps into the packed tensor) is pending on-chip
+    # validation — opt in via ISEG_ATTN_PAIRS=1 until then. Interpret mode
+    # always exercises it so CPU tests keep pinning both kernels.
+    import os
+
+    if eligible and (interpret or os.environ.get("ISEG_ATTN_PAIRS") == "1"):
+        return _mha_qkv_pallas_pairs(qkv, num_heads, scale, interpret)
+    return _mha_qkv_pallas(qkv, num_heads, scale, interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _mha_qkv_pallas_ad(qkv, num_heads, scale, interpret=False):
-    return _mha_qkv_pallas(qkv, num_heads, scale, interpret)
+    return _mha_qkv_route(qkv, num_heads, scale, interpret)
 
 
 def _mha_qkv_jnp(qkv, num_heads, scale):
@@ -117,7 +197,7 @@ def _mha_qkv_jnp(qkv, num_heads, scale):
 
 
 def _mha_qkv_pallas_ad_fwd(qkv, num_heads, scale, interpret=False):
-    return _mha_qkv_pallas(qkv, num_heads, scale, interpret), (qkv,)
+    return _mha_qkv_route(qkv, num_heads, scale, interpret), (qkv,)
 
 
 def _mha_qkv_pallas_ad_bwd(num_heads, scale, interpret, residuals, g):

@@ -148,9 +148,21 @@ def test_packed_qkv_attention_matches_split():
         mha(t[:, :, 0], t[:, :, 1], t[:, :, 2], impl="jnp")
     ).reshape(b, n, h * dh)
     got_jnp = np.asarray(mha_qkv(qkv, h, impl="jnp"))
+    # h=4, dh=64 -> the zero-relayout head-pair kernel
     got_kern = np.asarray(mha_qkv(qkv, h, impl="pallas_interpret"))
     np.testing.assert_allclose(got_jnp, want, rtol=0, atol=0)  # same graph
     np.testing.assert_allclose(got_kern, want, rtol=1e-5, atol=1e-5)
+
+    # odd head count -> the generic packed (single-transpose) kernel
+    h3 = 3
+    qkv3 = jnp.asarray(
+        rng.standard_normal((b, n, 3 * h3 * dh), dtype=np.float32))
+    t3 = qkv3.reshape(b, n, 3, h3, dh)
+    want3 = np.asarray(
+        mha(t3[:, :, 0], t3[:, :, 1], t3[:, :, 2], impl="jnp")
+    ).reshape(b, n, h3 * dh)
+    got3 = np.asarray(mha_qkv(qkv3, h3, impl="pallas_interpret"))
+    np.testing.assert_allclose(got3, want3, rtol=1e-5, atol=1e-5)
 
 
 def test_packed_qkv_attention_grad():

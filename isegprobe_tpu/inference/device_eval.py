@@ -747,8 +747,9 @@ def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
 
         while assigned:
             st = ev.step(params, st)
-            n_b = np.asarray(st["n"])
-            done_b = np.asarray(st["done"])
+            # one round-trip for the tiny per-lane scalars (the tunnel makes
+            # each host fetch latency-bound, not bandwidth-bound)
+            n_b, done_b = jax.device_get((st["n"], st["done"]))
             fin = [lane for lane in assigned
                    if done_b[lane] or n_b[lane] >= ev.max_clicks]
             if not fin:

@@ -289,6 +289,7 @@ def main() -> None:
                     max_clicks=eval_cfg.n_clicks,
                     net_clicks_limit=eval_cfg.clicks_limit or eval_cfg.n_clicks,
                     pred_thr=eval_cfg.thresh, target_iou=eval_cfg.target_iou,
+                    min_clicks=eval_cfg.min_n_clicks,
                     with_flip=True, batch_size=device_batch, mesh=mesh,
                     trunk_cache=str(eval_cfg.get("trunk_cache", "auto")),
                     refill_api=device_refill,

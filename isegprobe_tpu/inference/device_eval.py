@@ -113,6 +113,7 @@ def make_device_evaluator(
     net_clicks_limit: int = 20,
     pred_thr: float = 0.49,
     target_iou: float = 0.90,
+    min_clicks: int = 1,
     with_flip: bool = True,
     roi_prob_thresh: float = 0.50,
     expansion_ratio: float = 1.4,
@@ -175,7 +176,7 @@ def make_device_evaluator(
     # cannot tell apart (utils/misc.py: stamped).
     cfg_salt = (
         repr(model), target_size, max_clicks, net_clicks_limit, pred_thr,
-        target_iou, with_flip, roi_prob_thresh, expansion_ratio,
+        target_iou, min_clicks, with_flip, roi_prob_thresh, expansion_ratio,
         min_crop_size, recompute_thresh_iou, batch_size, use_cache,
         chunk_clicks,
     )
@@ -368,7 +369,10 @@ def make_device_evaluator(
         iou = inter / jnp.maximum(union, 1)
         ious = st["ious"].at[st["n"]].set(iou)
         return dict(
-            prev=prev, ious=ious, n=st["n"] + 1, done=iou >= target_iou
+            prev=prev, ious=ious, n=st["n"] + 1,
+            # the reference's stopping rule gates early exit on a minimum
+            # click count (evaluation.py:85 / our host evaluation.py:51)
+            done=(iou >= target_iou) & (st["n"] + 1 >= min_clicks),
         )
 
     # ---- batch-level model stages -----------------------------------------

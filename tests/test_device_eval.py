@@ -72,6 +72,30 @@ def test_device_loop_matches_host_protocol(model_and_params, seed):
     np.testing.assert_allclose(dev_ious, host_ious, rtol=1e-3, atol=1e-3)
 
 
+def test_device_loop_honors_min_clicks(model_and_params):
+    """The reference gates early stopping on a minimum click count
+    (evaluation.py:85); the compiled loop must do the same."""
+    model, params = model_and_params
+    img, gt = _scene(0)
+    min_clicks, max_clicks = 3, 5
+    # target_iou=0 -> the stop condition holds from click 1; only the
+    # min-click gate keeps both protocols clicking
+    host_pred = TPUPredictor(model, params, target_size=(56, 56),
+                             with_flip=True, net_clicks_limit=max_clicks)
+    _, host_ious, _ = evaluate_sample(
+        img, gt, host_pred, max_iou_thr=0.0, pred_thr=0.49,
+        max_clicks=max_clicks, min_clicks=min_clicks,
+    )
+    run = make_device_evaluator(
+        model, target_size=(56, 56), max_clicks=max_clicks,
+        net_clicks_limit=max_clicks, pred_thr=0.49, target_iou=0.0,
+        min_clicks=min_clicks, with_flip=True,
+    )
+    dev_ious = evaluate_sample_device(run, params, img, gt)
+    assert len(host_ious) == len(dev_ious) == min_clicks
+    np.testing.assert_allclose(dev_ious, host_ious, rtol=1e-3, atol=1e-3)
+
+
 def test_batched_device_loop_matches_single(model_and_params):
     """vmap'd whole-protocol evaluator must reproduce the single-sample
     trajectories exactly, including early-stopped lanes (done-masking)."""

@@ -253,27 +253,35 @@ def make_device_evaluator(
         cxf = cx.astype(jnp.float32)
         idx = (st["n"]).astype(jnp.float32)
 
+        # net-clicks truncation (reference: base_predictor.py get_prediction
+        # keeps the first net_clicks_limit clicks CHRONOLOGICALLY — later
+        # clicks exist in the clicker but never reach the model or ZoomIn).
+        # Gating every model/ROI-visible write on the chronological click
+        # index reproduces that; an ungated .at[] write would CLAMP at a
+        # full buffer and overwrite the newest kept click instead.
+        keep = st["n"] < nmax
         pos_pts = jnp.where(
-            is_pos,
+            is_pos & keep,
             st["pos_pts"].at[st["n_pos"]].set(jnp.stack([cyf, cxf, idx])),
             st["pos_pts"],
         )
         neg_pts = jnp.where(
-            is_pos,
+            is_pos | ~keep,
             st["neg_pts"],
             st["neg_pts"].at[st["n_neg"]].set(jnp.stack([cyf, cxf, idx])),
         )
-        n_pos = st["n_pos"] + is_pos.astype(jnp.int32)
-        n_neg = st["n_neg"] + (~is_pos).astype(jnp.int32)
+        n_pos = st["n_pos"] + (is_pos & keep).astype(jnp.int32)
+        n_neg = st["n_neg"] + ((~is_pos) & keep).astype(jnp.int32)
         not_clicked = st["not_clicked"].at[cy, cx].set(False)
 
-        pos_ymin = jnp.where(is_pos, jnp.minimum(st["pos_ymin"], cyf),
+        pos_keep = is_pos & keep
+        pos_ymin = jnp.where(pos_keep, jnp.minimum(st["pos_ymin"], cyf),
                              st["pos_ymin"])
-        pos_ymax = jnp.where(is_pos, jnp.maximum(st["pos_ymax"], cyf),
+        pos_ymax = jnp.where(pos_keep, jnp.maximum(st["pos_ymax"], cyf),
                              st["pos_ymax"])
-        pos_xmin = jnp.where(is_pos, jnp.minimum(st["pos_xmin"], cxf),
+        pos_xmin = jnp.where(pos_keep, jnp.minimum(st["pos_xmin"], cxf),
                              st["pos_xmin"])
-        pos_xmax = jnp.where(is_pos, jnp.maximum(st["pos_xmax"], cxf),
+        pos_xmax = jnp.where(pos_keep, jnp.maximum(st["pos_xmax"], cxf),
                              st["pos_xmax"])
 
         # --- ZoomIn ROI state machine (reference: zoom_in.py:51-97) ---

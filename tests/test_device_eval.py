@@ -96,6 +96,31 @@ def test_device_loop_honors_min_clicks(model_and_params):
     np.testing.assert_allclose(dev_ious, host_ious, rtol=1e-3, atol=1e-3)
 
 
+def test_device_loop_net_clicks_limit_truncation(model_and_params):
+    """clicks_limit < n_clicks: the reference keeps only the FIRST
+    net_clicks_limit clicks chronologically (for the model AND ZoomIn) while
+    the clicker keeps clicking — both our paths must reproduce that, not
+    clamp-overwrite the newest kept click."""
+    model, params = model_and_params
+    img, gt = _scene(5)
+    max_clicks, limit = 4, 2
+
+    host_pred = TPUPredictor(model, params, target_size=(56, 56),
+                             with_flip=True, net_clicks_limit=limit)
+    _, host_ious, _ = evaluate_sample(
+        img, gt, host_pred, max_iou_thr=0.99, pred_thr=0.49,
+        max_clicks=max_clicks,
+    )
+    run = make_device_evaluator(
+        model, target_size=(56, 56), max_clicks=max_clicks,
+        net_clicks_limit=limit, pred_thr=0.49, target_iou=0.99,
+        with_flip=True,
+    )
+    dev_ious = evaluate_sample_device(run, params, img, gt)
+    assert len(dev_ious) == len(host_ious)
+    np.testing.assert_allclose(dev_ious, host_ious, rtol=1e-3, atol=1e-3)
+
+
 def test_batched_device_loop_matches_single(model_and_params):
     """vmap'd whole-protocol evaluator must reproduce the single-sample
     trajectories exactly, including early-stopped lanes (done-masking)."""

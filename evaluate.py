@@ -297,9 +297,12 @@ def main() -> None:
                 )
                 t0 = _time()
                 if device_refill:
+                    refill_stats: dict = {}
                     all_ious = evaluate_dataset_refill(
                         run, params, dataset, sample_times=sample_times,
+                        stats=refill_stats,
                     )
+                    logger.info(f"refill stats: {refill_stats}")
                 else:
                     all_ious = evaluate_dataset_device(
                         run, params, dataset, batch_size=device_batch,

@@ -716,7 +716,8 @@ def evaluate_dataset_device(run_fn, params, dataset, depth: int = 2,
 
 
 def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
-                            sample_times: Optional[list] = None):
+                            sample_times: Optional[list] = None,
+                            stats: Optional[dict] = None):
     """Continuous-batching dataset evaluation (`refill_api=True` evaluator).
 
     The lockstep batched path (`evaluate_dataset_device`, batch_size>1) runs
@@ -740,6 +741,7 @@ def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
     jobs, by_shape = _build_jobs(dataset, bucket)
     results = [None] * len(jobs)
     b = ev.batch_size
+    n_chunks = n_refills = 0
     for group in by_shape.values():
         first = group[:b]
         pad = [first[-1]] * (b - len(first))  # duplicate-pad, retired below
@@ -759,6 +761,7 @@ def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
 
         while assigned:
             st = ev.step(params, st)
+            n_chunks += 1
             # one round-trip for the tiny per-lane scalars (the tunnel makes
             # each host fetch latency-bound, not bandwidth-bound)
             n_b, done_b = jax.device_get((st["n"], st["done"]))
@@ -777,10 +780,16 @@ def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
                     next_i += 1
                     st = ev.refill(params, st, lane, jnp.asarray(img),
                                    jnp.asarray(gt), jnp.asarray(hw))
+                    n_refills += 1
                     assigned[lane] = oi
                     t_start[lane] = now
                 else:
                     st = ev.retire(st, lane)
                     del assigned[lane]
                     del t_start[lane]
+    if stats is not None:
+        stats.update(
+            chunks=n_chunks, refills=n_refills, batch_size=b,
+            useful_clicks=sum(len(a) for a in results if a is not None),
+        )
     return results

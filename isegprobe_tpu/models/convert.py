@@ -233,6 +233,33 @@ def convert_clip_visual(state_dict: Mapping, layers: int = 12) -> Dict:
     return params
 
 
+def convert_clip_text(state_dict: Mapping, layers: int = 12) -> Dict:
+    """CLIP text-tower torch state dict -> CLIPTextEncoder params
+    (reference: maskclip/model.py:473-495 — token/positional embeddings,
+    causal transformer resblocks, ln_final, text_projection)."""
+    sd = dict(state_dict)
+    params: Dict[str, Any] = {
+        "token_embedding": _to_np(sd["token_embedding.weight"]),
+        "positional_embedding": _to_np(sd["positional_embedding"]),
+        "ln_final": _layernorm(sd, "ln_final"),
+        "text_projection": _to_np(sd["text_projection"]),
+    }
+    for i in range(layers):
+        p = f"transformer.resblocks.{i}"
+        params[f"resblocks_{i}"] = {
+            "ln_1": _layernorm(sd, f"{p}.ln_1"),
+            "ln_2": _layernorm(sd, f"{p}.ln_2"),
+            "attn": {
+                "in_proj_weight": _to_np(sd[f"{p}.attn.in_proj_weight"]),
+                "in_proj_bias": _to_np(sd[f"{p}.attn.in_proj_bias"]),
+                "out_proj": _linear(sd, f"{p}.attn.out_proj"),
+            },
+            "c_fc": _linear(sd, f"{p}.mlp.c_fc"),
+            "c_proj": _linear(sd, f"{p}.mlp.c_proj"),
+        }
+    return params
+
+
 def convert_vit(state_dict: Mapping, depth: int, layerscale: bool = False) -> Dict:
     """Convert a DINO/DINOv2-family torch ViT state dict to our ViT params.
 

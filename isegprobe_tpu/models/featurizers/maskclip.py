@@ -30,11 +30,16 @@ CLIP_ARCHS = {
 
 
 class _CLIPAttention(nn.Module):
-    """torch nn.MultiheadAttention layout: packed in_proj + out_proj."""
+    """torch nn.MultiheadAttention layout: packed in_proj + out_proj.
+
+    ``causal=True`` applies the text tower's additive upper-triangular mask
+    (reference model.py:529-535); at 77 tokens the plain-jnp masked form is
+    the right tool (no kernel, one fused XLA attention)."""
 
     width: int
     heads: int
     attn_impl: str = "auto"
+    causal: bool = False
 
     def setup(self):
         d = self.width
@@ -51,6 +56,20 @@ class _CLIPAttention(nn.Module):
         qkv = x @ self.in_proj_weight.T + self.in_proj_bias
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, n, _ = x.shape
+        if self.causal:
+            qh = q.reshape(b, n, self.heads, dh)
+            kh = k.reshape(b, n, self.heads, dh)
+            vh = v.reshape(b, n, self.heads, dh)
+            prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
+            s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, precision=prec,
+                           preferred_element_type=jnp.float32) * dh**-0.5
+            mask = jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)
+            p = jax.nn.softmax(s + mask, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(vh.dtype), vh,
+                             precision=prec,
+                             preferred_element_type=jnp.float32)
+            return self.out_proj(out.astype(x.dtype).reshape(b, n, d))
         out = mha(
             q.reshape(b, n, self.heads, dh),
             k.reshape(b, n, self.heads, dh),
@@ -71,11 +90,12 @@ class _CLIPBlock(nn.Module):
     width: int
     heads: int
     attn_impl: str = "auto"
+    causal: bool = False
 
     def setup(self):
         self.ln_1 = nn.LayerNorm(epsilon=1e-5, name="ln_1")
         self.attn = _CLIPAttention(self.width, self.heads, self.attn_impl,
-                                   name="attn")
+                                   self.causal, name="attn")
         self.ln_2 = nn.LayerNorm(epsilon=1e-5, name="ln_2")
         self.c_fc = nn.Dense(self.width * 4, name="c_fc")
         self.c_proj = nn.Dense(self.width, name="c_proj")
@@ -206,3 +226,53 @@ class MaskCLIPFeaturizer(nn.Module):
         if additional_features is not None and mode == "after_backbone":
             feats = feats + additional_features.astype(feats.dtype)
         return feats.reshape(b, gh, gw, -1)
+
+
+class CLIPTextEncoder(nn.Module):
+    """CLIP text tower (reference: maskclip/model.py:473-495, 580-593).
+
+    Token ids [B, 77] -> joint-space embedding [B, output_dim]: token
+    embedding + learned positional embedding, ``layers`` causal QuickGELU
+    blocks (the same _CLIPBlock as the visual tower with the additive
+    triangular mask), ln_final, then the projection of the end-of-text
+    position — located per row as argmax(ids) since <|endoftext|> carries
+    the highest id (model.py:590-591). Param names mirror the CLIP
+    checkpoint for mechanical conversion (models/convert.py:
+    convert_clip_text). ViT-B/16 text config: width 512, 8 heads,
+    12 layers, vocab 49408, context 77, output_dim 512.
+    """
+
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    vocab_size: int = 49408
+    context_length: int = 77
+    output_dim: int = 512
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        w = self.width
+        self.token_embedding = self.param(
+            "token_embedding", nn.initializers.normal(0.02),
+            (self.vocab_size, w))
+        self.positional_embedding = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (self.context_length, w))
+        self.resblocks = [
+            _CLIPBlock(w, self.heads, "jnp", True, name=f"resblocks_{i}")
+            for i in range(self.layers)
+        ]
+        self.ln_final = nn.LayerNorm(epsilon=1e-5, name="ln_final")
+        self.text_projection = self.param(
+            "text_projection", nn.initializers.normal(w**-0.5),
+            (w, self.output_dim))
+
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.take(self.token_embedding, ids, axis=0).astype(self.dtype)
+        x = x + self.positional_embedding.astype(self.dtype)[None]
+        for blk in self.resblocks:
+            x = blk(x)
+        x = self.ln_final(x.astype(jnp.float32))
+        eot = jnp.argmax(ids, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        return pooled @ self.text_projection

@@ -29,10 +29,12 @@ _STUBS = (
     "torch.utils.tensorboard",
     "torchvision",
     "torchvision.transforms",
-    # the CLIP BPE tokenizer needs the `regex` package and a vocab file; tests
-    # never tokenize text, so stub the whole module
-    "core.model.featurizers.maskclip.simple_tokenizer",
 )
+
+# genuinely installed packages must NOT be shadowed by empty stubs — the
+# repo's own CLIP tokenizer uses `regex`, and the tokenizer-parity test uses
+# the reference SimpleTokenizer when ftfy happens to be available
+_STUB_ONLY_IF_MISSING = ("ftfy", "regex")
 
 
 def reference_available() -> bool:
@@ -45,10 +47,27 @@ def setup_reference():
         return False
     if str(REFERENCE_PATH) not in sys.path:
         sys.path.insert(0, str(REFERENCE_PATH))
+    import importlib.util
+
+    def _installed(name: str) -> bool:
+        mod = sys.modules.get(name)
+        if mod is not None:  # a prior stub has __spec__ None
+            return getattr(mod, "__spec__", None) is not None
+        try:
+            return importlib.util.find_spec(name) is not None
+        except (ImportError, ValueError):
+            return False
+
+    real = {n: _installed(n) for n in _STUB_ONLY_IF_MISSING}
     for name in _STUBS:
-        if name not in sys.modules:
-            mod = types.ModuleType(name)
-            sys.modules[name] = mod
+        if name in sys.modules or real.get(name, False):
+            continue
+        sys.modules[name] = types.ModuleType(name)
+    # the reference tokenizer module hard-imports ftfy; stub it only when
+    # ftfy itself had to be stubbed (tokenizer-parity tests use it otherwise)
+    tok_mod = "core.model.featurizers.maskclip.simple_tokenizer"
+    if not real["ftfy"] and tok_mod not in sys.modules:
+        sys.modules[tok_mod] = types.ModuleType(tok_mod)
     om = sys.modules["omegaconf"]
     if not hasattr(om, "DictConfig"):
         om.DictConfig = dict
@@ -74,8 +93,8 @@ def setup_reference():
 
         mm.ConvModule = _ConvModule
         sys.modules["mmcv"].cnn = mm
-    st = sys.modules["core.model.featurizers.maskclip.simple_tokenizer"]
-    if not hasattr(st, "SimpleTokenizer"):
+    st = sys.modules.get(tok_mod)
+    if st is not None and not hasattr(st, "SimpleTokenizer"):
         st.SimpleTokenizer = lambda *a, **k: None
     tv = sys.modules["torchvision.transforms"]
     if not hasattr(tv, "Compose"):

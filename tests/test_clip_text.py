@@ -38,6 +38,26 @@ def test_tokenizer_canonical_ids():
     assert long[0, -1] == 49407
 
 
+@pytest.mark.skipif(not BPE_PATH.exists(), reason="BPE vocab unavailable")
+def test_tokenizer_roundtrip_fuzz():
+    """decode(encode(text)) recovers the cleaned text for random ASCII."""
+    import random
+
+    from isegprobe_tpu.models.featurizers.clip_tokenizer import ClipTokenizer
+
+    tok = ClipTokenizer(str(BPE_PATH))
+    rng = random.Random(0)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789.,!?'- "
+    for _ in range(25):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 40)))
+        cleaned = tok.clean(text)
+        ids = tok.encode(text)
+        assert all(0 <= i < 49408 for i in ids)
+        if cleaned:
+            # BPE word-split inserts single spaces between emitted words
+            assert tok.decode(ids).split() == cleaned.split(), repr(text)
+
+
 @pytest.mark.skipif(not HAS_REF, reason="reference tree unavailable")
 def test_tokenizer_matches_reference():
     ftfy = pytest.importorskip("ftfy")  # reference tokenizer hard-imports it

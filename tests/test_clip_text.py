@@ -54,8 +54,11 @@ def test_tokenizer_roundtrip_fuzz():
         ids = tok.encode(text)
         assert all(0 <= i < 49408 for i in ids)
         if cleaned:
-            # BPE word-split inserts single spaces between emitted words
-            assert tok.decode(ids).split() == cleaned.split(), repr(text)
+            # spaces are not encoded (the word regex drops them) and decode
+            # renders a space per BPE word-end — the lossless content is the
+            # character stream, so compare space-free
+            assert (tok.decode(ids).replace(" ", "")
+                    == cleaned.replace(" ", "")), repr(text)
 
 
 @pytest.mark.skipif(not HAS_REF, reason="reference tree unavailable")

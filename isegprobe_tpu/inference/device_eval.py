@@ -225,6 +225,9 @@ def make_device_evaluator(
             neg_pts=jnp.full((nmax, 3), -1.0, jnp.float32),
             n_pos=jnp.asarray(0, jnp.int32),
             n_neg=jnp.asarray(0, jnp.int32),
+            # ALL positive clicks ever made (ZoomIn sees the untruncated
+            # list, reference base_predictor.py:88 / zoom_in.py:203-207)
+            pos_mask=jnp.zeros((hp, wp), jnp.bool_),
             # running extremes of positive clicks for check_object_roi
             pos_ymin=jnp.asarray(jnp.inf, jnp.float32),
             pos_ymax=jnp.asarray(-jnp.inf, jnp.float32),
@@ -253,12 +256,14 @@ def make_device_evaluator(
         cxf = cx.astype(jnp.float32)
         idx = (st["n"]).astype(jnp.float32)
 
-        # net-clicks truncation (reference: base_predictor.py get_prediction
-        # keeps the first net_clicks_limit clicks CHRONOLOGICALLY — later
-        # clicks exist in the clicker but never reach the model or ZoomIn).
-        # Gating every model/ROI-visible write on the chronological click
-        # index reproduces that; an ungated .at[] write would CLAMP at a
-        # full buffer and overwrite the newest kept click instead.
+        # MODEL-side net-clicks truncation (reference: get_points_nd,
+        # base_predictor.py:204-209 — the point tensor keeps the first
+        # net_clicks_limit clicks chronologically). Only the point buffers
+        # gate on the click index; an ungated .at[] write would CLAMP at a
+        # full buffer and overwrite the newest kept click instead. The
+        # ZoomIn ROI machine below sees the UNTRUNCATED click history (the
+        # reference hands apply_transforms the full list,
+        # base_predictor.py:88).
         keep = st["n"] < nmax
         pos_pts = jnp.where(
             is_pos & keep,
@@ -274,14 +279,17 @@ def make_device_evaluator(
         n_neg = st["n_neg"] + ((~is_pos) & keep).astype(jnp.int32)
         not_clicked = st["not_clicked"].at[cy, cx].set(False)
 
-        pos_keep = is_pos & keep
-        pos_ymin = jnp.where(pos_keep, jnp.minimum(st["pos_ymin"], cyf),
+        # full-history positive-click record for the ROI machine: one-pixel
+        # update per click (cheaper than re-scattering the point buffer, and
+        # unlike it, never truncated)
+        pos_mask = st["pos_mask"].at[cy, cx].max(is_pos)
+        pos_ymin = jnp.where(is_pos, jnp.minimum(st["pos_ymin"], cyf),
                              st["pos_ymin"])
-        pos_ymax = jnp.where(pos_keep, jnp.maximum(st["pos_ymax"], cyf),
+        pos_ymax = jnp.where(is_pos, jnp.maximum(st["pos_ymax"], cyf),
                              st["pos_ymax"])
-        pos_xmin = jnp.where(pos_keep, jnp.minimum(st["pos_xmin"], cxf),
+        pos_xmin = jnp.where(is_pos, jnp.minimum(st["pos_xmin"], cxf),
                              st["pos_xmin"])
-        pos_xmax = jnp.where(pos_keep, jnp.maximum(st["pos_xmax"], cxf),
+        pos_xmax = jnp.where(is_pos, jnp.maximum(st["pos_xmax"], cxf),
                              st["pos_xmax"])
 
         # --- ZoomIn ROI state machine (reference: zoom_in.py:51-97) ---
@@ -291,11 +299,7 @@ def make_device_evaluator(
         roi_mask_pred = (prev2d > roi_prob_thresh) & _in_valid_mask(
             hp, wp, st["valid_hw"])
         has_mask = jnp.any(roi_mask_pred)
-        pos_click_mask = jnp.zeros((hp, wp), jnp.bool_).at[
-            pos_pts[:, 0].astype(jnp.int32).clip(0, hp - 1),
-            pos_pts[:, 1].astype(jnp.int32).clip(0, wp - 1),
-        ].max(pos_pts[:, 0] >= 0)
-        roi_mask = roi_mask_pred | pos_click_mask
+        roi_mask = roi_mask_pred | pos_mask
 
         cand = _expand_clamp(_bbox_from_mask(roi_mask), expansion_ratio,
                              min_crop_size, h_valid, w_valid)
@@ -303,10 +307,11 @@ def make_device_evaluator(
         cand = jnp.where(has_mask, cand, st["full_roi"])
 
         cur = st["roi"].astype(jnp.float32)
+        has_pos = jnp.isfinite(pos_ymin)  # any positive click ever
         clicks_inside = (
             (pos_ymin >= cur[0]) & (pos_ymax < cur[1])
             & (pos_xmin >= cur[2]) & (pos_xmax < cur[3])
-        ) | (n_pos == 0)
+        ) | ~has_pos
         iou_ok = _bbox_iou(cand.astype(jnp.float32), cur) >= recompute_thresh_iou
         update = (~st["roi_set"]) | (~clicks_inside) | (~iou_ok)
         roi = jnp.where(update, cand, st["roi"])
@@ -314,7 +319,7 @@ def make_device_evaluator(
         points = jnp.concatenate([pos_pts, neg_pts], axis=0)
         return dict(
             pos_pts=pos_pts, neg_pts=neg_pts, n_pos=n_pos, n_neg=n_neg,
-            not_clicked=not_clicked,
+            not_clicked=not_clicked, pos_mask=pos_mask,
             pos_ymin=pos_ymin, pos_ymax=pos_ymax,
             pos_xmin=pos_xmin, pos_xmax=pos_xmax,
             roi=roi, roi_set=jnp.asarray(True),

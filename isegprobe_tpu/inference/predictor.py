@@ -308,10 +308,10 @@ class TPUPredictor:
             self._activate_slot(
                 min(offset + len(clicks_list), len(self._slots)) - 1
             )
-        # truncate BEFORE the ROI machine: the reference cuts the click list
-        # to net_clicks_limit ahead of its transform chain, so ZoomIn never
-        # sees clicks past the limit (base_predictor.py:82-99)
-        clicks_list = clicks_list[: self.net_clicks_limit]
+        # the ROI machine sees the FULL click list (the reference passes the
+        # untruncated list to its transform chain, base_predictor.py:88);
+        # only the model's point tensor truncates to net_clicks_limit
+        # (get_points_nd, base_predictor.py:204-209)
         roi = self._compute_roi(clicks_list)
         points = self.get_points_nd(clicks_list)
 

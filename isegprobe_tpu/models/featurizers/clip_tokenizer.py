@@ -93,7 +93,13 @@ class ClipTokenizer:
         self.decoder: Dict[int, str] = {i: t for t, i in self.encoder.items()}
         self._rank: Dict[Tuple[str, str], int] = {
             m: i for i, m in enumerate(merges)}
-        self._cache: Dict[str, str] = {}
+        # literal specials in input text must NOT be BPE-split (the word
+        # regex matches them whole; reference pre-seeds its cache the same)
+        self._cache: Dict[str, str] = {
+            "<|startoftext|>": "<|startoftext|>",
+            "<|endoftext|>": "<|endoftext|>",
+        }
+        self._byte_dec = {v: k for k, v in self._byte_enc.items()}
         self.sot = self.encoder["<|startoftext|>"]
         self.eot = self.encoder["<|endoftext|>"]
 
@@ -139,8 +145,7 @@ class ClipTokenizer:
 
     def decode(self, ids: Iterable[int]) -> str:
         text = "".join(self.decoder[i] for i in ids)
-        rev = {v: k for k, v in self._byte_enc.items()}
-        raw = bytes(rev[c] for c in text)
+        raw = bytes(self._byte_dec[c] for c in text)
         return raw.decode("utf-8", errors="replace").replace("</w>", " ")
 
     def __call__(self, texts, context_length: int = 77,

@@ -122,6 +122,18 @@ def code_fingerprint() -> str:
     return _CODE_FINGERPRINT
 
 
+_TRACE_ENV_FLAGS = ("ISEG_ATTN_PAIRS",)
+
+
+def _trace_env_salt() -> str:
+    """Environment toggles that alter traced programs (ops/attention.py's
+    kernel routing reads ISEG_ATTN_PAIRS at trace time)."""
+    import os
+
+    return "".join(f"{k}={os.environ.get(k, '')};" for k in _TRACE_ENV_FLAGS
+                   if os.environ.get(k))
+
+
 def stamped(fn, salt: object = None):
     """Rename ``fn`` to ``<name>_<code_fingerprint>[_<salt-hash>]`` before
     ``jax.jit``.
@@ -143,10 +155,15 @@ def stamped(fn, salt: object = None):
     base = getattr(fn, "__name__", None) or getattr(
         getattr(fn, "func", None), "__name__", "fn")
     name = f"{base}_{code_fingerprint()}"
-    if salt is not None:
+    # env toggles that change the TRACED graph without changing source or
+    # shapes (kernel routing flags) must enter every program name too, or
+    # an A/B toggle re-measures the previous binary
+    env_salt = _trace_env_salt()
+    if salt is not None or env_salt:
         import hashlib
 
-        name += "_" + hashlib.md5(repr(salt).encode()).hexdigest()[:8]
+        name += "_" + hashlib.md5(
+            (repr(salt) + env_salt).encode()).hexdigest()[:8]
     try:
         fn.__name__ = name
         fn.__qualname__ = name

@@ -63,10 +63,12 @@ def setup_reference():
         if name in sys.modules or real.get(name, False):
             continue
         sys.modules[name] = types.ModuleType(name)
-    # the reference tokenizer module hard-imports ftfy; stub it only when
-    # ftfy itself had to be stubbed (tokenizer-parity tests use it otherwise)
+    # the reference tokenizer module hard-imports ftfy AND regex; stub it
+    # unless both are genuinely installed (tokenizer-parity tests use the
+    # real one when available)
     tok_mod = "core.model.featurizers.maskclip.simple_tokenizer"
-    if not real["ftfy"] and tok_mod not in sys.modules:
+    if (not (real["ftfy"] and real["regex"])
+            and tok_mod not in sys.modules):
         sys.modules[tok_mod] = types.ModuleType(tok_mod)
     om = sys.modules["omegaconf"]
     if not hasattr(om, "DictConfig"):

@@ -36,6 +36,9 @@ def test_tokenizer_canonical_ids():
     # truncation keeps eot as the final token
     long = tok("cat " * 50, context_length=8)
     assert long[0, -1] == 49407
+    # literal specials in input text map to their single ids, never BPE-split
+    assert tok.encode("<|endoftext|>") == [49407]
+    assert tok.encode("<|startoftext|>") == [49406]
 
 
 @pytest.mark.skipif(not BPE_PATH.exists(), reason="BPE vocab unavailable")

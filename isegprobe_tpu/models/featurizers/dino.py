@@ -37,6 +37,7 @@ class DINOFeaturizer(nn.Module):
     pretrain_grid: Any = None  # eval-time pre-interpolated pos-embed grid
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    remat_blocks: bool = False  # recompute blocks in bwd (high-res training)
 
     @property
     def embed_dim(self) -> int:
@@ -46,7 +47,8 @@ class DINOFeaturizer(nn.Module):
         import dataclasses
 
         overrides = dict(patch_size=self.patch_size, dtype=self.dtype,
-                         attn_impl=self.attn_impl)
+                         attn_impl=self.attn_impl,
+                         remat_blocks=self.remat_blocks)
         if self.pretrain_grid is not None:
             overrides["pretrain_grid"] = tuple(self.pretrain_grid)
         cfg = dataclasses.replace(DINO_TRUNK, **overrides)

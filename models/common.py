@@ -17,8 +17,19 @@ def init_model_from_modules_cfg(modules_cfg, cfg, **model_kwargs) -> iSegProbeMo
     """(reference: models/sbd/dinov2/patch-embed_noup.py:85-106)"""
     defaults = dict(use_disks=True, norm_radius=5, with_prev_mask=True)
     defaults.update(model_kwargs)
+    # training_params.remat_backbone=true: recompute backbone blocks in the
+    # backward pass — the memory lever for high-res (448²) training. Plumbed
+    # centrally so every experiment script gets it; only the ViT-family
+    # featurizers take the knob (maskclip/simple_vit keep their own memory
+    # profile).
+    backbone_cfg = modules_cfg["backbone"]
+    if (cfg.get("training_params") or {}).get("remat_backbone", False) \
+            and backbone_cfg.get("type") in ("dinov2", "vit"):
+        backbone_cfg = dict(backbone_cfg)
+        backbone_cfg["params"] = dict(backbone_cfg.get("params") or {},
+                                      remat_blocks=True)
     return iSegProbeModel(
-        backbone_cfg=modules_cfg["backbone"],
+        backbone_cfg=backbone_cfg,
         head_cfg=modules_cfg["head"],
         embed_coords_cfg=modules_cfg["embed_coords"],
         neck_cfg=modules_cfg["neck"],

@@ -20,11 +20,7 @@ ARCHITECTURE = "backbone_upsampler_head"
 def define_modules_cfg(cfg):
     return {
         "backbone": dict(type="dinov2",
-                         params=dict(
-                             feats_injection_mode="before_backbone",
-                             remat_blocks=bool(
-                                 cfg.training_params.get("remat_backbone", False)),
-                         )),
+                         params=dict(feats_injection_mode="before_backbone")),
         "embed_coords": dict(
             type="patchEmbed",
             params=dict(img_size=cfg.training_params.crop_size,

@@ -50,6 +50,43 @@ def test_vit_remat_blocks_same_forward_and_grads():
                                    err_msg=jax.tree_util.keystr(kp))
 
 
+def test_remat_backbone_plumbs_through_model_scripts():
+    """training_params.remat_backbone=true reaches the ViT-family backbones
+    via the central model-script plumbing (models/common.py), and leaves
+    non-ViT backbones untouched."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from isegprobe_tpu.utils.config import EDict
+    from models.common import init_model_from_modules_cfg
+
+    cfg = EDict({"training_params": {"remat_backbone": True}})
+    base = {
+        "embed_coords": dict(type="patchEmbed",
+                             params=dict(img_size=(56, 56),
+                                         patch_size=(14, 14), embed_dim=384)),
+        "head": dict(type="convhead",
+                     params=dict(in_channels=384, num_layers=1, num_classes=1)),
+        "upsampler": dict(type="identity", params=dict()),
+        "neck": None,
+        "save": None,
+        "architecture": "backbone_upsampler_head",
+    }
+    m = init_model_from_modules_cfg(
+        dict(base, backbone=dict(
+            type="dinov2",
+            params=dict(feats_injection_mode="before_backbone"))), cfg)
+    assert m.backbone_cfg["params"]["remat_blocks"] is True
+
+    m2 = init_model_from_modules_cfg(
+        dict(base, backbone=dict(
+            type="dinov2",
+            params=dict(feats_injection_mode="before_backbone"))),
+        EDict({"training_params": {}}))
+    assert "remat_blocks" not in (m2.backbone_cfg.get("params") or {})
+
+
 def test_loftup_banded_remat_grads_match_monolithic():
     """Banded-slab grads equal monolithic grads up to f32 reassociation.
 

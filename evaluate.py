@@ -88,7 +88,12 @@ def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     dtype_name = str(eval_cfg.get("dtype", "float32"))
     import jax.numpy as jnp
 
-    model = build_model(config, dtype=getattr(jnp, dtype_name))
+    if dtype_name == "int8":
+        # dynamic W8A8 backbone dense layers on the int8 MXU (ops/quant.py);
+        # everything the int8 path does not cover runs bf16
+        model = build_model(config, dtype=jnp.bfloat16, quant="int8")
+    else:
+        model = build_model(config, dtype=getattr(jnp, dtype_name))
     # fresh init (frozen/pretrained modules), overlaid with the checkpoint
     h, w = target_size
     n_ch = 4 if config["params"].get("with_prev_mask") else 3
@@ -98,9 +103,10 @@ def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     params = merge_params(full, params)
     model, params = interpolate_backbone_pos_embed(model, params, config,
                                                    target_size)
-    if dtype_name == "bfloat16":
+    if dtype_name in ("bfloat16", "int8"):
         # halve the weight HBM traffic too — the dominant cost of a
-        # latency-bound batch-2 forward
+        # latency-bound batch-2 forward (int8 quantizes on the fly from
+        # these bf16 weights inside the matmul op)
         params = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,

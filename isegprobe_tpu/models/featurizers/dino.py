@@ -38,6 +38,7 @@ class DINOFeaturizer(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat_blocks: bool = False  # recompute blocks in bwd (high-res training)
+    quant: Any = None  # 'int8': W8A8 dense layers (ops/quant.py)
 
     @property
     def embed_dim(self) -> int:
@@ -48,7 +49,7 @@ class DINOFeaturizer(nn.Module):
 
         overrides = dict(patch_size=self.patch_size, dtype=self.dtype,
                          attn_impl=self.attn_impl,
-                         remat_blocks=self.remat_blocks)
+                         remat_blocks=self.remat_blocks, quant=self.quant)
         if self.pretrain_grid is not None:
             overrides["pretrain_grid"] = tuple(self.pretrain_grid)
         cfg = dataclasses.replace(DINO_TRUNK, **overrides)

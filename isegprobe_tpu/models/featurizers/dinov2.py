@@ -42,6 +42,7 @@ class DINOv2Featurizer(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
     remat_blocks: bool = False  # recompute blocks in bwd (high-res training)
+    quant: Any = None  # 'int8': W8A8 dense layers (ops/quant.py)
 
     @property
     def patch_size(self) -> int:
@@ -59,7 +60,7 @@ class DINOv2Featurizer(nn.Module):
         import dataclasses
 
         overrides = dict(dtype=self.dtype, attn_impl=self.attn_impl,
-                         remat_blocks=self.remat_blocks)
+                         remat_blocks=self.remat_blocks, quant=self.quant)
         if self.pretrain_grid is not None:
             overrides["pretrain_grid"] = tuple(self.pretrain_grid)
         cfg = dataclasses.replace(DINOV2_ARCHS[self.arch], **overrides)

@@ -40,6 +40,14 @@ TRAINABLE_SUBMODULES = ("embed_coords", "head", "neck")
 def build_featurizer(ftype: str, params: Dict, **common) -> nn.Module:
     ftype = ftype.lower()
     params = dict(params or {})
+    if ftype in ("simple_vit", "mask_clip"):
+        # int8 serving covers the unified-ViT backbones; these two keep their
+        # own block implementations (explicit failure beats silent fallback)
+        if common.get("quant"):
+            raise NotImplementedError(
+                f"quant={common['quant']!r} is not supported for {ftype} "
+                "(ViT-family backbones only)")
+        common = {k: v for k, v in common.items() if k != "quant"}
     if ftype == "dinov2":
         return DINOv2Featurizer(**params, **common)
     if ftype == "vit":
@@ -173,6 +181,9 @@ class iSegProbeModel(nn.Module):
     norm_mean_std: Tuple = (IMAGENET_MEAN, IMAGENET_STD)
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    # 'int8': backbone dense layers run dynamic W8A8 on the int8 MXU
+    # (ops/quant.py); set via eval_cfg.dtype=int8 — serving only
+    quant: Any = None
 
     def setup(self):
         assert self.architecture in ("backbone_upsampler_head", "backbone_neck_head")
@@ -181,7 +192,8 @@ class iSegProbeModel(nn.Module):
             # (core/utils/model_builder.py:97-100)
             raise NotImplementedError("neck architecture is not implemented")
 
-        common = dict(dtype=self.dtype, attn_impl=self.attn_impl)
+        common = dict(dtype=self.dtype, attn_impl=self.attn_impl,
+                      quant=self.quant)
         self.backbone = build_featurizer(
             self.backbone_cfg["type"], self.backbone_cfg.get("params"), **common
         )
@@ -212,7 +224,11 @@ class iSegProbeModel(nn.Module):
                 name="embed_coords",
             )
         elif ec_type == "simple_vit":
-            self.embed_coords = build_featurizer("simple_vit", ec_params, **common)
+            # click encoder stays at the float dtype under quant='int8' — the
+            # backbone is where the FLOPs are, and SimpleViT has its own blocks
+            ec_common = {k: v for k, v in common.items() if k != "quant"}
+            self.embed_coords = build_featurizer("simple_vit", ec_params,
+                                                 **ec_common)
         else:
             raise ValueError(f"Unknown embed_coords type: {ec_type}")
 

@@ -60,6 +60,10 @@ class ViTConfig:
     # per block are recomputed instead of stored — the TPU-native memory/
     # compute trade for training at high resolution (e.g. 448² LoftUp runs)
     remat_blocks: bool = False
+    # 'int8': run the block dense layers (qkv/proj/fc1/fc2) as dynamic W8A8
+    # int8 MXU matmuls (ops/quant.py) — the opt-in serving knob; None = the
+    # configured float dtype everywhere
+    quant: str | None = None
 
 
 def mm_precision(dtype) -> jax.lax.Precision | None:
@@ -76,6 +80,20 @@ def mm_precision(dtype) -> jax.lax.Precision | None:
     intent and kernel compatibility, not an XLA speedup. f32 returns None =
     inherit the global exact setting."""
     return None if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
+def _dense(quant: str | None, features: int, use_bias: bool, dtype,
+           name: str) -> nn.Module:
+    """Block dense layer: nn.Dense, or the int8 dynamic-quant drop-in
+    (identical param tree) when quant='int8'."""
+    if quant == "int8":
+        from isegprobe_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, use_bias=use_bias, dtype=dtype, name=name)
+    if quant is not None:
+        raise ValueError(f"Unknown quant mode: {quant!r}")
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    precision=mm_precision(dtype), name=name)
 
 
 def _act_fn(name: str, x: jnp.ndarray) -> jnp.ndarray:
@@ -118,13 +136,14 @@ class Attention(nn.Module):
     proj_bias: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_k: bool = False):
         b, n, c = x.shape
         dh = c // self.num_heads
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                       precision=mm_precision(self.dtype), name="qkv")(x)
+        qkv = _dense(self.quant, 3 * c, self.qkv_bias, self.dtype,
+                     name="qkv")(x)
         if return_k:
             # DINO key-probing needs k back: take the generic split path
             t = qkv.reshape(b, n, 3, self.num_heads, dh)
@@ -136,8 +155,8 @@ class Attention(nn.Module):
             out = mha_qkv(qkv, self.num_heads, scale=dh**-0.5,
                           impl=self.attn_impl)
             k = None
-        out = nn.Dense(c, use_bias=self.proj_bias, dtype=self.dtype,
-                       precision=mm_precision(self.dtype), name="proj")(out)
+        out = _dense(self.quant, c, self.proj_bias, self.dtype,
+                     name="proj")(out)
         if return_k:
             return out, k
         return out
@@ -149,14 +168,15 @@ class Mlp(nn.Module):
     act: str = "gelu"
     use_bias: bool = True
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim, use_bias=self.use_bias, dtype=self.dtype,
-                     precision=mm_precision(self.dtype), name="fc1")(x)
+        x = _dense(self.quant, self.hidden_dim, self.use_bias, self.dtype,
+                   name="fc1")(x)
         x = _act_fn(self.act, x)
-        x = nn.Dense(self.dim, use_bias=self.use_bias, dtype=self.dtype,
-                     precision=mm_precision(self.dtype), name="fc2")(x)
+        x = _dense(self.quant, self.dim, self.use_bias, self.dtype,
+                   name="fc2")(x)
         return x
 
 
@@ -211,8 +231,8 @@ class Block(nn.Module):
         c = self.cfg
         h = _ln(c, name="norm1")(x)
         attn = Attention(
-            c.embed_dim, c.num_heads, c.qkv_bias, c.proj_bias, c.dtype, c.attn_impl,
-            name="attn",
+            c.embed_dim, c.num_heads, c.qkv_bias, c.proj_bias, c.dtype,
+            c.attn_impl, c.quant, name="attn",
         )
         if return_k:
             a, k = attn(h, return_k=True)
@@ -223,7 +243,7 @@ class Block(nn.Module):
         x = x + a
         h2 = _ln(c, name="norm2")(x)
         m = Mlp(c.embed_dim, int(c.embed_dim * c.mlp_ratio), c.act, c.ffn_bias,
-                c.dtype, name="mlp")(h2)
+                c.dtype, c.quant, name="mlp")(h2)
         if c.layerscale:
             m = LayerScale(c.embed_dim, c.layerscale_init, name="ls2")(m)
         x = x + m

@@ -299,6 +299,12 @@ class iSegTrainer:
     def _loss(self, outputs, batch):
         total = 0.0
         logging_out = {}
+        # mixed-precision (bf16 model dtype): losses always reduce in f32
+        for key in ("instances", "instances_aux"):
+            if outputs.get(key) is not None and \
+                    outputs[key].dtype != jnp.float32:
+                outputs = dict(outputs, **{key: outputs[key].astype(
+                    jnp.float32)})
         loss_fn = self.loss_cfg["instance_loss"]
         weight = self.loss_cfg.get("instance_loss_weight", 1.0)
         loss, aux = loss_fn(outputs["instances"], batch["instances"])
@@ -338,7 +344,9 @@ class iSegTrainer:
                 rng, k = jax.random.split(rng)
                 out = self._forward(eval_params if eval_params is not None
                                     else params_full, images, prev, points)
-                prob = jax.nn.sigmoid(out["instances"])
+                # f32 sigmoid even under bf16 model dtype: the EDT click
+                # picker thresholds prob at 0.5 and compares error depths
+                prob = jax.nn.sigmoid(out["instances"].astype(jnp.float32))
                 points = get_next_points_device(prob, gt, points, i + 1, k)
                 return prob, points, rng
 

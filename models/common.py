@@ -17,6 +17,19 @@ def init_model_from_modules_cfg(modules_cfg, cfg, **model_kwargs) -> iSegProbeMo
     """(reference: models/sbd/dinov2/patch-embed_noup.py:85-106)"""
     defaults = dict(use_disks=True, norm_radius=5, with_prev_mask=True)
     defaults.update(model_kwargs)
+    # training_params.dtype=bfloat16: mixed-precision training — flax modules
+    # compute in bf16 while param_dtype stays f32 (master weights, f32 Adam
+    # moments); the trainer upcasts logits to f32 before the loss. Checkpoints
+    # are unchanged (f32 params; dtype is not serialized into the config).
+    train_dtype = str((cfg.get("training_params") or {}).get("dtype",
+                                                             "float32"))
+    if train_dtype in ("bfloat16", "bf16"):
+        import jax.numpy as jnp
+
+        defaults["dtype"] = jnp.bfloat16
+    elif train_dtype not in ("float32", "f32"):
+        raise ValueError(f"training_params.dtype={train_dtype!r}: expected "
+                         "float32 or bfloat16")
     # training_params.remat_backbone=true: recompute backbone blocks in the
     # backward pass — the memory lever for high-res (448²) training. Plumbed
     # centrally so every experiment script gets it; only the ViT-family

@@ -203,6 +203,50 @@ def test_evaluate_main_device_refill(fixture_dataset, fixture_checkpoint,
     assert "GrabCut" in results
 
 
+def test_evaluate_main_int8(fixture_dataset, fixture_checkpoint, tmp_path,
+                            monkeypatch):
+    """eval dtype=int8: the W8A8 serving mode drives the same compiled device
+    loop end-to-end and emits a results table."""
+    repo = Path(__file__).resolve().parents[1]
+    main_cfg = {
+        "EXPS_PATH": str(tmp_path / "exps"),
+        "INTERACTIVE_MODELS_PATH": str(tmp_path),
+        "DATASETS": {"GRABCUT_PATH": str(fixture_dataset)},
+        "UPSAMPLERS": {},
+    }
+    main_cfg_path = tmp_path / "main_cfg.yaml"
+    main_cfg_path.write_text(yaml.safe_dump(main_cfg))
+
+    monkeypatch.chdir(repo)
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "evaluate.py",
+            f"checkpoint={fixture_checkpoint}",
+            "datasets=GrabCut",
+            "eval_mode=fixed112",
+            "n_clicks=2",
+            "target_iou=0.9",
+            "print_ious=false",
+            "iou_analysis=false",
+            "device_loop=true",
+            "dtype=int8",
+            f"main_cfg_path={main_cfg_path}",
+            f"logs_path={tmp_path / 'logs_int8'}",
+        ],
+    )
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "isegprobe_evaluate_cli_int8", repo / "evaluate.py"
+    )
+    evaluate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(evaluate)
+    evaluate.main()
+    results = (tmp_path / "logs_int8" / "results.txt").read_text()
+    assert "GrabCut" in results and "NoC@80%" in results
+
+
 def test_config_overrides():
     from isegprobe_tpu.utils.config import EDict, apply_overrides
 

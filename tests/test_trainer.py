@@ -202,3 +202,92 @@ def test_resume_from_checkpoint_continues_training(model, tmp_path):
         for a, b in zip(jax.tree.leaves(loaded["head"]),
                         jax.tree.leaves(after["head"]))
     )
+
+
+def test_mixed_precision_bf16_training(tmp_path):
+    """training_params.dtype=bfloat16: modules compute in bf16, params stay
+    f32 master weights, loss reduces in f32, and the head still learns."""
+    import jax.numpy as jnp
+
+    bf16_model = iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(28, 28), patch_size=(14, 14), embed_dim=384),
+        ),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1,
+                                  num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        save_cfg=dict(embed_coords=True, backbone=False, upsampler=False,
+                      head=True),
+        use_disks=True,
+        norm_radius=5,
+        with_prev_mask=True,
+        attn_impl="jnp",
+        dtype=jnp.bfloat16,
+    )
+    ds = TinyDataset()
+    trainer = iSegTrainer(
+        bf16_model, _cfg(tmp_path),
+        loss_cfg={"instance_loss": NormalizedFocalLossSigmoid(alpha=0.5,
+                                                              gamma=2),
+                  "instance_loss_weight": 1.0},
+        trainset=ds, valset=TinyDataset(n=8),
+        optimizer="adam", optimizer_params={"lr": 1e-3},
+        max_num_next_clicks=2, seed=7,
+    )
+    # master weights are f32 even though compute dtype is bf16
+    for leaf in jax.tree.leaves(jax.device_get(trainer.params)["trainable"]):
+        assert leaf.dtype == np.float32, f"param dtype {leaf.dtype}"
+
+    before = jax.device_get(trainer.params)["trainable"]
+    trainer.training(0)
+    after = jax.device_get(trainer.params)["trainable"]
+    assert all(np.isfinite(loss) for loss in trainer.epoch_losses)
+    assert any(
+        not np.array_equal(b, a)
+        for b, a in zip(jax.tree.leaves(before["head"]),
+                        jax.tree.leaves(after["head"]))
+    ), "head params did not update under bf16"
+    for leaf in jax.tree.leaves(after):
+        assert leaf.dtype == np.float32
+
+
+def test_training_dtype_knob_maps_to_model_dtype(tmp_path):
+    import types as _t
+
+    import jax.numpy as jnp
+
+    from models.common import init_model_from_modules_cfg
+
+    modules_cfg = dict(
+        backbone=dict(type="dinov2",
+                      params=dict(feats_injection_mode="before_backbone")),
+        embed_coords=dict(type="patchEmbed",
+                          params=dict(img_size=(28, 28), patch_size=(14, 14),
+                                      embed_dim=384)),
+        head=dict(type="convhead",
+                  params=dict(in_channels=384, num_layers=1, num_classes=1)),
+        upsampler=dict(type="identity", params=dict()),
+        neck=None,
+        save=dict(embed_coords=True, backbone=False, upsampler=False,
+                  head=True),
+        architecture="backbone_upsampler_head",
+    )
+
+    class _Cfg(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    cfg = _Cfg(training_params=_Cfg(dtype="bfloat16"))
+    model = init_model_from_modules_cfg(modules_cfg, cfg)
+    assert model.dtype == jnp.bfloat16
+    cfg_f32 = _Cfg(training_params=_Cfg())
+    assert init_model_from_modules_cfg(modules_cfg, cfg_f32).dtype == jnp.float32
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        init_model_from_modules_cfg(
+            modules_cfg, _Cfg(training_params=_Cfg(dtype="float16")))

@@ -25,11 +25,17 @@ N_CLICKS = 30
 
 
 def build_predictor(dtype=None, injection="before_backbone"):
+    """dtype: None/f32, jnp.bfloat16, or the string 'int8' (W8A8 dense layers
+    over bf16 everything-else — the eval_cfg.dtype=int8 serving mode)."""
     import jax
     import jax.numpy as jnp
 
     from isegprobe_tpu.inference.predictor import TPUPredictor
     from isegprobe_tpu.models.probe_model import iSegProbeModel
+
+    quant = None
+    if dtype == "int8":
+        dtype, quant = jnp.bfloat16, "int8"
 
     if injection == "after_backbone":
         # the late-injection family (models/sbd/dinov2/simple-vit_noup.py):
@@ -57,11 +63,12 @@ def build_predictor(dtype=None, injection="before_backbone"):
         norm_radius=5,
         with_prev_mask=True,
         dtype=dtype or jnp.float32,
+        quant=quant,
     )
     image = np.zeros((1, 448, 448, 4), dtype=np.float32)
     points = np.full((1, 40, 3), -1.0, dtype=np.float32)
     params = model.init(jax.random.PRNGKey(0), image, points)["params"]
-    if dtype == jnp.bfloat16:
+    if dtype == jnp.bfloat16 or quant:
         # bf16 weights as well: halves weight HBM traffic (evaluate.py does
         # the same under eval_cfg.dtype=bfloat16; NoC-neutral, BASELINE.md)
         params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)

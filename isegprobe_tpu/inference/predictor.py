@@ -498,3 +498,133 @@ class TransformChainPredictor:
         for t, s in zip(self.transforms, states["transform_states"]):
             t.set_state(s)
         self.prev_prediction = states["prev_prediction"]
+
+
+class CropsPredictor:
+    """Tiled sliding-window TTA with the whole per-click pipeline compiled
+    into ONE device program (reference: core/inference/transforms/crops.py:
+    14-117 run through base_predictor.py:67-108, which slices / stitches in
+    numpy and dispatches per transform stage).
+
+    Per click: static-offset tiling of the (image ⊕ prev-mask) frame,
+    optional flip-TTA batch doubling, model forward over all tiles, logit
+    flip-averaging, sigmoid, and count-averaged stitching back to the full
+    frame — all inside one jitted function with shapes fixed per (H, W).
+    Only the per-tile click shifting (a few numpy adds over ≤20 clicks)
+    stays on host, where the clicker lives anyway.
+
+    Offsets, tile counts and the stitch-divisor image replicate the host
+    ``transforms.Crops`` exactly (same ``get_offsets``), so trajectories
+    match ``TransformChainPredictor([Crops, SigmoidForPred, Flip])`` —
+    pinned by tests/test_eval_transforms.py."""
+
+    def __init__(self, model, params, crop_size=(320, 480),
+                 min_overlap: float = 0.2, with_flip: bool = True,
+                 net_clicks_limit: int = 20) -> None:
+        self.model = model
+        self.params = params
+        self.crop_height, self.crop_width = crop_size
+        self.min_overlap = min_overlap
+        self.with_flip = with_flip
+        self.net_clicks_limit = net_clicks_limit
+        self.with_prev_mask = getattr(model, "with_prev_mask", False)
+        self.original_image: Optional[np.ndarray] = None
+        self.prev_prediction: Optional[np.ndarray] = None
+        self._offsets: List[Tuple[int, int]] = []
+        self._step = None
+
+    def set_input_image(self, image: np.ndarray) -> None:
+        from isegprobe_tpu.inference.transforms import get_offsets
+
+        if image.dtype == np.uint8:
+            image = image.astype(np.float32) / 255.0
+        h, w = image.shape[:2]
+        self.original_image = np.asarray(image, np.float32)
+        self.prev_prediction = np.zeros((h, w, 1), np.float32)
+        if h < self.crop_height or w < self.crop_width:
+            # reference Crops: images smaller than the tile run untiled
+            ch, cw, y_off, x_off = h, w, [0], [0]
+        else:
+            ch, cw = self.crop_height, self.crop_width
+            y_off = get_offsets(h, ch, self.min_overlap)
+            x_off = get_offsets(w, cw, self.min_overlap)
+        self._offsets = [(dy, dx) for dy in y_off for dx in x_off]
+        counts = np.zeros((h, w), np.float32)
+        for dy, dx in self._offsets:
+            counts[dy:dy + ch, dx:dx + cw] += 1.0
+        self._step = jax.jit(stamped(
+            functools.partial(self._compiled_step, tuple(self._offsets),
+                              (ch, cw), jnp.asarray(counts)),
+            (repr(self.model), "crops", h, w, ch, cw, self.with_flip,
+             self.net_clicks_limit),
+        ))
+
+    def _compiled_step(self, offsets, tile_hw, counts, params, img_prev,
+                       points):
+        """One click: tile → (flip) → forward → merge → stitch. Static
+        offsets are baked into the program (one compile per frame size)."""
+        ch, cw = tile_hw
+        tiles = jnp.stack(
+            [jax.lax.slice(img_prev, (dy, dx, 0),
+                           (dy + ch, dx + cw, img_prev.shape[-1]))
+             for dy, dx in offsets])              # [T, ch, cw, C]
+        t = len(offsets)
+        if self.with_flip:
+            real = points[..., 2:3] >= 0
+            flipped = jnp.where(
+                real,
+                jnp.stack([points[..., 0], cw - 1 - points[..., 1],
+                           points[..., 2]], axis=-1),
+                points)
+            tiles = jnp.concatenate([tiles, tiles[:, :, ::-1]], axis=0)
+            points = jnp.concatenate([points, flipped], axis=0)
+        logits = self.model.apply({"params": params}, tiles,
+                                  points)["instances"]
+        logits = logits.astype(jnp.float32)
+        if self.with_flip:
+            logits = 0.5 * (logits[:t] + logits[t:, :, ::-1])
+        probs = jax.nn.sigmoid(logits)[..., 0]     # [T, ch, cw]
+        out = jnp.zeros(counts.shape, jnp.float32)
+        for i, (dy, dx) in enumerate(offsets):
+            out = out.at[dy:dy + ch, dx:dx + cw].add(probs[i])
+        return out / counts
+
+    def _points_nd(self, clicks_list: List[Click]) -> np.ndarray:
+        """Per-tile padded click tensors, coords shifted into tile frames
+        (reference: crops.py:60-75 + base_predictor.py:194-225)."""
+        n = self.net_clicks_limit
+        t = len(self._offsets)
+        points = np.full((t, 2 * n, 3), -1.0, dtype=np.float32)
+        for ti, (dy, dx) in enumerate(self._offsets):
+            pi = ni = 0
+            for click in clicks_list[:n]:
+                y, x = click.coords[0] - dy, click.coords[1] - dx
+                row = (y, x, click.indx)
+                if click.is_positive:
+                    points[ti, pi] = row
+                    pi += 1
+                else:
+                    points[ti, n + ni] = row
+                    ni += 1
+        return points
+
+    def get_prediction(self, clicker: Clicker, prev_mask=None) -> np.ndarray:
+        clicks_list = clicker.get_clicks()
+        x = self.original_image
+        if self.with_prev_mask:
+            prev = self.prev_prediction if prev_mask is None else np.asarray(
+                prev_mask, np.float32).reshape(*x.shape[:2], 1)
+            x = np.concatenate([x, prev], axis=-1)
+        probs = np.asarray(self._step(
+            self.params, jnp.asarray(x),
+            jnp.asarray(self._points_nd(clicks_list))))
+        self.prev_prediction = probs[..., None].astype(np.float32)
+        return probs
+
+    # demo/undo state protocol (transform state is static per image)
+    def get_states(self) -> Dict:
+        return {"prev_prediction": None if self.prev_prediction is None
+                else self.prev_prediction.copy()}
+
+    def set_states(self, states: Dict) -> None:
+        self.prev_prediction = states["prev_prediction"]

@@ -90,7 +90,8 @@ def attribute(trace_dir: str, n_clicks: int, batch: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--dtype", default="bf16",
+                    choices=["bf16", "f32", "int8"])
     ap.add_argument("--clicks", type=int, default=20)
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--trace-dir", default=None,
@@ -106,7 +107,8 @@ def main():
     from isegprobe_tpu.utils.misc import enable_compile_cache
 
     enable_compile_cache()
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+             "int8": "int8"}[args.dtype]
     predictor = build_predictor(dtype)
     run = make_device_evaluator(
         predictor.model, target_size=(448, 448), max_clicks=args.clicks,

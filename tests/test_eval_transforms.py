@@ -187,3 +187,61 @@ def test_crops_through_predictor():
     assert crops.x_offsets is not None and len(crops.x_offsets) >= 2
     assert probs.shape == hw
     assert np.isfinite(probs).all() and 0 <= probs.min() <= probs.max() <= 1
+
+
+def test_compiled_crops_predictor_matches_host_chain():
+    """CropsPredictor (one compiled program per click: tile + flip TTA +
+    forward + stitch) reproduces the host TransformChainPredictor
+    [Crops, Sigmoid, Flip] trajectory click-for-click."""
+    from isegprobe_tpu.inference.clicker import Clicker
+    from isegprobe_tpu.inference.predictor import (
+        CropsPredictor,
+        TransformChainPredictor,
+    )
+    from isegprobe_tpu.inference.transforms import (
+        AddHorizontalFlip,
+        Crops,
+        SigmoidForPred,
+    )
+
+    hw = (84, 112)
+    model, params = _probe_model((56, 56))
+    host = TransformChainPredictor(
+        model, params,
+        transforms=[Crops(crop_size=(56, 56), min_overlap=0.2),
+                    SigmoidForPred(), AddHorizontalFlip()],
+        net_clicks_limit=4,
+    )
+    dev = CropsPredictor(model, params, crop_size=(56, 56), min_overlap=0.2,
+                         with_flip=True, net_clicks_limit=4)
+    img, gt = _scene(hw, (20, 64, 28, 84))
+
+    host.set_input_image(img)
+    dev.set_input_image(img)
+    clicker_h = Clicker(gt_mask=gt)
+    clicker_d = Clicker(gt_mask=gt)
+    mask_h = np.zeros_like(gt, bool)
+    mask_d = np.zeros_like(gt, bool)
+    for _ in range(4):
+        clicker_h.make_next_click(mask_h)
+        clicker_d.make_next_click(mask_d)
+        assert clicker_h.clicks_list[-1].coords == \
+            clicker_d.clicks_list[-1].coords, "click sequences diverged"
+        p_h = host.get_prediction(clicker_h)
+        p_d = dev.get_prediction(clicker_d)
+        np.testing.assert_allclose(p_d, p_h, atol=2e-3)
+        mask_h, mask_d = p_h > 0.49, p_d > 0.49
+
+
+def test_compiled_crops_predictor_small_image_untiled():
+    """Frames smaller than the tile run untiled (reference crops.py:31-33)."""
+    from isegprobe_tpu.inference.predictor import CropsPredictor
+
+    model, params = _probe_model((56, 56))
+    dev = CropsPredictor(model, params, crop_size=(112, 112),
+                         with_flip=True, net_clicks_limit=4)
+    img, gt = _scene((56, 56), (12, 40, 14, 44))
+    probs, _ = _drive_protocol(dev, img, gt)
+    assert len(dev._offsets) == 1
+    assert probs.shape == (56, 56)
+    assert np.isfinite(probs).all()

@@ -148,7 +148,10 @@ def interpolate_backbone_pos_embed(model, params, config, target_size):
     backbone_cfg["params"] = bparams
     new_config = dict(config)
     new_config["params"] = dict(config["params"], backbone_cfg=backbone_cfg)
-    return build_model(new_config), params
+    # carry the non-serialized compute knobs (model_config drops dtype, and
+    # quant was applied as a build override) — without these the rebuild
+    # silently reverted dtype/quant eval modes to the f32 float path
+    return build_model(new_config, dtype=model.dtype, quant=model.quant), params
 
 
 def main() -> None:

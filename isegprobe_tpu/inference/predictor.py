@@ -45,6 +45,23 @@ def _bucket(n: int, step: int = 64) -> int:
     return -(-n // step) * step
 
 
+def _pack_clicks_row(points: np.ndarray, bi: int, clicks: List[Click],
+                     n: int, dy: float = 0.0, dx: float = 0.0) -> None:
+    """Fill ``points[bi]`` (a ``[2n, 3]`` row pre-filled with −1 sentinels)
+    from a click list: positives in ``[0:n]``, negatives in ``[n:2n]``,
+    coords shifted by ``(−dy, −dx)`` — THE padding convention shared by every
+    predictor (reference: base_predictor.py:194-225)."""
+    pi = ni = 0
+    for click in clicks[:n]:
+        row = (click.coords[0] - dy, click.coords[1] - dx, click.indx)
+        if click.is_positive:
+            points[bi, pi] = row
+            pi += 1
+        else:
+            points[bi, n + ni] = row
+            ni += 1
+
+
 class TPUPredictor:
     """Stateful per-image predictor with a fully-compiled click step."""
 
@@ -450,14 +467,7 @@ class TransformChainPredictor:
         n = self.net_clicks_limit
         points = np.full((len(clicks_lists), 2 * n, 3), -1.0, dtype=np.float32)
         for bi, clicks in enumerate(clicks_lists):
-            pi = ni = 0
-            for click in clicks[:n]:
-                if click.is_positive:
-                    points[bi, pi] = click.coords_and_indx
-                    pi += 1
-                else:
-                    points[bi, n + ni] = click.coords_and_indx
-                    ni += 1
+            _pack_clicks_row(points, bi, clicks, n)
         return points
 
     def get_prediction(self, clicker: Clicker, prev_mask=None) -> np.ndarray:
@@ -532,6 +542,9 @@ class CropsPredictor:
         self.prev_prediction: Optional[np.ndarray] = None
         self._offsets: List[Tuple[int, int]] = []
         self._step = None
+        # one compiled program per frame geometry, reused across images
+        # (a fixed-size dataset compiles exactly once)
+        self._step_cache: Dict[Tuple[int, int, int, int], object] = {}
 
     def set_input_image(self, image: np.ndarray) -> None:
         from isegprobe_tpu.inference.transforms import get_offsets
@@ -549,15 +562,18 @@ class CropsPredictor:
             y_off = get_offsets(h, ch, self.min_overlap)
             x_off = get_offsets(w, cw, self.min_overlap)
         self._offsets = [(dy, dx) for dy in y_off for dx in x_off]
-        counts = np.zeros((h, w), np.float32)
-        for dy, dx in self._offsets:
-            counts[dy:dy + ch, dx:dx + cw] += 1.0
-        self._step = jax.jit(stamped(
-            functools.partial(self._compiled_step, tuple(self._offsets),
-                              (ch, cw), jnp.asarray(counts)),
-            (repr(self.model), "crops", h, w, ch, cw, self.with_flip,
-             self.net_clicks_limit),
-        ))
+        key = (h, w, ch, cw)
+        if key not in self._step_cache:
+            counts = np.zeros((h, w), np.float32)
+            for dy, dx in self._offsets:
+                counts[dy:dy + ch, dx:dx + cw] += 1.0
+            self._step_cache[key] = jax.jit(stamped(
+                functools.partial(self._compiled_step, tuple(self._offsets),
+                                  (ch, cw), jnp.asarray(counts)),
+                (repr(self.model), "crops", h, w, ch, cw, self.with_flip,
+                 self.net_clicks_limit),
+            ))
+        self._step = self._step_cache[key]
 
     def _compiled_step(self, offsets, tile_hw, counts, params, img_prev,
                        points):
@@ -596,16 +612,7 @@ class CropsPredictor:
         t = len(self._offsets)
         points = np.full((t, 2 * n, 3), -1.0, dtype=np.float32)
         for ti, (dy, dx) in enumerate(self._offsets):
-            pi = ni = 0
-            for click in clicks_list[:n]:
-                y, x = click.coords[0] - dy, click.coords[1] - dx
-                row = (y, x, click.indx)
-                if click.is_positive:
-                    points[ti, pi] = row
-                    pi += 1
-                else:
-                    points[ti, n + ni] = row
-                    ni += 1
+            _pack_clicks_row(points, ti, clicks_list, n, dy=dy, dx=dx)
         return points
 
     def get_prediction(self, clicker: Clicker, prev_mask=None) -> np.ndarray:

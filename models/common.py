@@ -23,7 +23,9 @@ def init_model_from_modules_cfg(modules_cfg, cfg, **model_kwargs) -> iSegProbeMo
     # are unchanged (f32 params; dtype is not serialized into the config).
     train_dtype = str((cfg.get("training_params") or {}).get("dtype",
                                                              "float32"))
-    if train_dtype in ("bfloat16", "bf16"):
+    if "dtype" in model_kwargs:
+        pass  # an explicit model_kwargs dtype always wins over the config knob
+    elif train_dtype in ("bfloat16", "bf16"):
         import jax.numpy as jnp
 
         defaults["dtype"] = jnp.bfloat16

@@ -242,6 +242,23 @@ def test_evaluate_main_int8(fixture_dataset, fixture_checkpoint, tmp_path,
     )
     evaluate = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(evaluate)
+
+    # the pos-embed pre-interpolation rebuilds the model; it must carry the
+    # non-serialized dtype/quant knobs (regression: the rebuild silently
+    # reverted dtype=int8/bfloat16 eval to the f32 float path)
+    import jax.numpy as jnp
+
+    class _EC(dict):
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    model, _ = evaluate.load_model_for_eval(
+        str(fixture_checkpoint), _EC(dtype="int8"), target_size=(112, 112))
+    assert model.quant == "int8" and model.dtype == jnp.bfloat16
+    model, _ = evaluate.load_model_for_eval(
+        str(fixture_checkpoint), _EC(dtype="bfloat16"), target_size=(112, 112))
+    assert model.quant is None and model.dtype == jnp.bfloat16
+
     evaluate.main()
     results = (tmp_path / "logs_int8" / "results.txt").read_text()
     assert "GrabCut" in results and "NoC@80%" in results

@@ -293,6 +293,11 @@ def main():
     cached_ms, uncached_ms = measure_trunk_cache(dtype=jnp.bfloat16)
     clicks_per_s = measure_batched_throughput(8)
     clicks_per_s_bf16 = measure_batched_throughput(8, dtype=jnp.bfloat16)
+    # batch 16 scales past batch 8 since the round-3 compact-state +
+    # head-pair-attention work removed the VMEM-locality cliff (BASELINE.md)
+    clicks_per_s_bf16_b16 = measure_batched_throughput(16, dtype=jnp.bfloat16)
+    # W8A8 dense layers on the int8 MXU (eval_cfg.dtype=int8, ops/quant.py)
+    clicks_per_s_int8 = measure_batched_throughput(8, dtype="int8")
     try:
         refill_pair = measure_refill_vs_lockstep()
     except Exception as e:
@@ -325,6 +330,8 @@ def main():
         "davis_scale_p50_ms": round(davis_ms, 3),
         "batched_clicks_per_s": round(clicks_per_s, 1),
         "batched_bf16_clicks_per_s": round(clicks_per_s_bf16, 1),
+        "batched_bf16_b16_clicks_per_s": round(clicks_per_s_bf16_b16, 1),
+        "batched_int8_clicks_per_s": round(clicks_per_s_int8, 1),
         "bf16_p50_ms": round(bf16_ms, 3),
         "bf16_p95_ms": round(bf16_p95_ms, 3),
         "trunk_cached_bf16_p50_ms": round(cached_ms, 3),

@@ -245,3 +245,24 @@ def test_compiled_crops_predictor_small_image_untiled():
     assert len(dev._offsets) == 1
     assert probs.shape == (56, 56)
     assert np.isfinite(probs).all()
+
+
+def test_compiled_crops_predictor_program_cache():
+    """Same-geometry frames reuse one compiled step program; a new geometry
+    compiles a new one (a fixed-size dataset compiles exactly once)."""
+    from isegprobe_tpu.inference.predictor import CropsPredictor
+
+    model, params = _probe_model((56, 56))
+    dev = CropsPredictor(model, params, crop_size=(56, 56), min_overlap=0.2,
+                         with_flip=True, net_clicks_limit=4)
+    img1, _ = _scene((84, 112), (20, 64, 28, 84))
+    img2, _ = _scene((84, 112), (10, 50, 30, 90))
+    img3, _ = _scene((84, 126), (20, 64, 28, 84))
+
+    dev.set_input_image(img1)
+    step1 = dev._step
+    dev.set_input_image(img2)
+    assert dev._step is step1, "same geometry must reuse the compiled program"
+    dev.set_input_image(img3)
+    assert dev._step is not step1
+    assert len(dev._step_cache) == 2

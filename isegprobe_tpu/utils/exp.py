@@ -77,8 +77,15 @@ def init_experiment(cfg: EDict, model_name: Optional[str] = None) -> EDict:
     exp_parent_path = cfg.EXPS_PATH / rel / model_name
     exp_parent_path.mkdir(parents=True, exist_ok=True)
 
-    if cfg.training.get("resume_exp"):
-        exp_path = _find_resume_exp(exp_parent_path, cfg.training.resume_exp)
+    resume_exp = cfg.training.get("resume_exp")
+    if resume_exp is not None and resume_exp != "":
+        # CLI overrides YAML-parse numeric run prefixes ("000" -> int 0,
+        # which is falsy); normalize back to the zero-padded dir prefix so
+        # `training.resume_exp=000` resumes run 000 instead of silently
+        # starting a fresh run with fresh weights
+        if isinstance(resume_exp, int):
+            resume_exp = f"{resume_exp:03d}"
+        exp_path = _find_resume_exp(exp_parent_path, resume_exp)
         # resolve the checkpoint to resume from (reference: trainer.py:550-570)
         prefix = cfg.training.get("resume_prefix", "latest")
         pattern = "last_checkpoint*" if prefix == "latest" else f"{prefix}*"

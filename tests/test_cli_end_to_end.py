@@ -270,3 +270,32 @@ def test_config_overrides():
     cfg = EDict.convert({"a": {"b": 1}, "flag": True})
     apply_overrides(cfg, ["a.b=5", "flag=false", "new.key=[1,2]"])
     assert cfg.a.b == 5 and cfg.flag is False and cfg.new.key == [1, 2]
+
+
+def test_init_experiment_resume_numeric_prefix(tmp_path, monkeypatch):
+    """`training.resume_exp=000` YAML-parses to int 0 (falsy); the resume
+    branch must still find run 000 and pick up its last checkpoint
+    (regression: it silently created a fresh run with fresh weights)."""
+    from isegprobe_tpu.utils.config import EDict
+    from isegprobe_tpu.utils.exp import init_experiment
+
+    monkeypatch.chdir(tmp_path)
+    model_dir = tmp_path / "models" / "synthetic"
+    model_dir.mkdir(parents=True)
+    script = model_dir / "demo_model.py"
+    script.write_text("main = None\n")
+
+    run = tmp_path / "exps" / "synthetic" / "demo_model" / "000_first"
+    (run / "checkpoints").mkdir(parents=True)
+    ckpt = run / "checkpoints" / "last_checkpoint.ckpt"
+    ckpt.write_bytes(b"x")
+
+    cfg = EDict.convert({
+        "exp": {"model_path": str(script), "name": "second"},
+        "training": {"resume_exp": 0, "resume_prefix": "latest",
+                     "weights": None},
+        "EXPS_PATH": str(tmp_path / "exps"),
+    })
+    cfg = init_experiment(cfg)
+    assert Path(cfg.EXP_PATH).name == "000_first"
+    assert cfg.training.weights == str(ckpt)

@@ -179,6 +179,10 @@ def make_device_evaluator(
         target_iou, min_clicks, with_flip, roi_prob_thresh, expansion_ratio,
         min_crop_size, recompute_thresh_iou, batch_size, use_cache,
         chunk_clicks,
+        # mesh-sharded and unsharded evaluators take identically-shaped
+        # inputs and differ only in in_shardings — salt the mesh layout
+        None if mesh is None else (tuple(mesh.axis_names),
+                                   tuple(mesh.devices.shape)),
     )
 
     # ---- per-lane protocol pieces (vmapped over the sample axis) ----------

@@ -570,8 +570,12 @@ class CropsPredictor:
             self._step_cache[key] = jax.jit(stamped(
                 functools.partial(self._compiled_step, tuple(self._offsets),
                                   (ch, cw), jnp.asarray(counts)),
+                # the tile offsets are baked constants: two min_overlap
+                # settings can tile the same geometry into the same COUNT of
+                # tiles (identical shapes) at different positions — salt the
+                # positions themselves, not just the geometry
                 (repr(self.model), "crops", h, w, ch, cw, self.with_flip,
-                 self.net_clicks_limit),
+                 self.net_clicks_limit, tuple(self._offsets)),
             ))
         self._step = self._step_cache[key]
 

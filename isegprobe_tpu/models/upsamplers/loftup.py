@@ -60,10 +60,16 @@ def min_max_scale(x: jnp.ndarray) -> jnp.ndarray:
     but in its eval protocol the batch is only ever ONE sample's flip pair
     (AddHorizontalFlip doubles the batch before the model), and a flip is a
     spatial permutation — pair-coupled min/max equal per-sample min/max
-    bit-for-bit. Reducing per sample therefore preserves reference parity
-    everywhere while keeping lanes independent in the device-batched NoC
+    bit-for-bit. Reducing per sample therefore preserves reference EVAL
+    parity exactly while keeping lanes independent in the device-batched NoC
     loop (a batch-coupled reduction would make each lane's prediction
-    depend on which other samples share its batch)."""
+    depend on which other samples share its batch).
+
+    TRAINING batches are a deliberate delta: the reference couples every
+    sample's normalization to its training-batch peers (a batch-composition
+    dependence this rebuild treats as a quirk, not a feature); here each
+    sample normalizes independently, so training numerics differ from torch
+    at batch > 1 (docs/PARITY.md known-deltas)."""
     mn = x.min(axis=(1, 2), keepdims=True)
     mx = x.max(axis=(1, 2), keepdims=True)
     return (x - mn) / jnp.clip(mx - mn, 1e-4) - 0.5

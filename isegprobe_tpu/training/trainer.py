@@ -244,7 +244,11 @@ class iSegTrainer:
         step_salt = (repr(self.model), repr(loss_cfg), optimizer,
                      repr(optimizer_params), layerwise_decay,
                      repr(lr_scheduler), max_interactive_points,
-                     max_num_next_clicks, prev_mask_drop_prob, str(dtype))
+                     max_num_next_clicks, prev_mask_drop_prob, str(dtype),
+                     # lr was popped from optimizer_params above, and the
+                     # schedule's step boundaries bake in steps_per_epoch —
+                     # both are traced constants of the compiled step
+                     self.base_lr, steps_per_epoch)
         self._train_step = jax.jit(
             stamped(partial(self._step, training=True), step_salt),
             donate_argnums=(0, 1),

@@ -78,6 +78,10 @@ def init_experiment(cfg: EDict, model_name: Optional[str] = None) -> EDict:
     exp_parent_path.mkdir(parents=True, exist_ok=True)
 
     resume_exp = cfg.training.get("resume_exp")
+    if isinstance(resume_exp, bool):
+        # `resume_exp=false` means "do not resume", not run 000 (bool is a
+        # subclass of int, so it would otherwise format to "000" below)
+        resume_exp = None
     if resume_exp is not None and resume_exp != "":
         # CLI overrides YAML-parse numeric run prefixes ("000" -> int 0,
         # which is falsy); normalize back to the zero-padded dir prefix so

@@ -299,3 +299,31 @@ def test_init_experiment_resume_numeric_prefix(tmp_path, monkeypatch):
     cfg = init_experiment(cfg)
     assert Path(cfg.EXP_PATH).name == "000_first"
     assert cfg.training.weights == str(ckpt)
+
+
+def test_init_experiment_resume_false_means_fresh_run(tmp_path, monkeypatch):
+    """`training.resume_exp=false` must start a fresh run — bool is an int
+    subclass and would otherwise format to the \"000\" prefix and silently
+    resume run 000."""
+    from isegprobe_tpu.utils.config import EDict
+    from isegprobe_tpu.utils.exp import init_experiment
+
+    monkeypatch.chdir(tmp_path)
+    model_dir = tmp_path / "models" / "synthetic"
+    model_dir.mkdir(parents=True)
+    script = model_dir / "demo_model.py"
+    script.write_text("main = None\n")
+
+    run = tmp_path / "exps" / "synthetic" / "demo_model" / "000_first"
+    (run / "checkpoints").mkdir(parents=True)
+    (run / "checkpoints" / "last_checkpoint.ckpt").write_bytes(b"x")
+
+    cfg = EDict.convert({
+        "exp": {"model_path": str(script), "name": "second"},
+        "training": {"resume_exp": False, "resume_prefix": "latest",
+                     "weights": None},
+        "EXPS_PATH": str(tmp_path / "exps"),
+    })
+    cfg = init_experiment(cfg)
+    assert Path(cfg.EXP_PATH).name == "001_second"
+    assert cfg.training.weights is None

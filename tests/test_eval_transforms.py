@@ -266,3 +266,24 @@ def test_compiled_crops_predictor_program_cache():
     dev.set_input_image(img3)
     assert dev._step is not step1
     assert len(dev._step_cache) == 2
+
+
+def test_compiled_crops_step_salts_offsets():
+    """Two min_overlap settings can tile one geometry into the same tile
+    count (identical shapes) at different baked offsets — program names must
+    differ (the name+shape-keyed executable cache cannot tell them apart)."""
+    from isegprobe_tpu.inference.predictor import CropsPredictor
+
+    model, params = _probe_model((56, 56))
+    img, _ = _scene((84, 112), (20, 64, 28, 84))
+    names = []
+    for overlap in (0.2, 0.4):
+        dev = CropsPredictor(model, params, crop_size=(56, 56),
+                             min_overlap=overlap, with_flip=True,
+                             net_clicks_limit=4)
+        dev.set_input_image(img)
+        names.append((dev._step.__wrapped__.__name__, tuple(dev._offsets)))
+    if names[0][1] == names[1][1]:  # same offsets -> same program is correct
+        assert names[0][0] == names[1][0]
+    else:
+        assert names[0][0] != names[1][0], names

@@ -8,6 +8,7 @@ CLI overrides use the same ``a.b.c=value`` syntax.
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
@@ -43,11 +44,20 @@ def load_yaml(path: str | Path) -> EDict:
     return EDict.convert(data)
 
 
+_SCI_FLOAT = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+")
+
+
 def _parse_value(text: str) -> Any:
     try:
-        return yaml.safe_load(text)
+        value = yaml.safe_load(text)
     except yaml.YAMLError:
         return text
+    # YAML 1.1 floats require a dot, so "2e-4" loads as the STRING "2e-4"
+    # (hydra, and any user typing `training_params.lr=2e-4`, means the
+    # float) — coerce exponent-form numbers the way YAML 1.2 would
+    if isinstance(value, str) and _SCI_FLOAT.fullmatch(value):
+        return float(value)
+    return value
 
 
 def apply_overrides(cfg: EDict, overrides: List[str]) -> EDict:

@@ -327,3 +327,18 @@ def test_init_experiment_resume_false_means_fresh_run(tmp_path, monkeypatch):
     cfg = init_experiment(cfg)
     assert Path(cfg.EXP_PATH).name == "001_second"
     assert cfg.training.weights is None
+
+
+def test_config_override_scientific_notation_floats():
+    """`lr=2e-4` must land as a float: YAML 1.1 requires a dot in float
+    literals so safe_load returns the string "2e-4" (hydra parses it as a
+    float; so do we). Non-numeric strings stay strings."""
+    from isegprobe_tpu.utils.config import EDict, apply_overrides
+
+    cfg = EDict.convert({"training_params": {"lr": 5e-5}})
+    apply_overrides(cfg, ["training_params.lr=2e-4", "a=1.5e3", "b=2E-4",
+                          "name=exp2e", "c=1.5", "d=7"])
+    assert cfg.training_params.lr == 2e-4
+    assert isinstance(cfg.training_params.lr, float)
+    assert cfg.a == 1500.0 and cfg.b == 2e-4
+    assert cfg.name == "exp2e" and cfg.c == 1.5 and cfg.d == 7

@@ -92,6 +92,10 @@ def init_experiment(cfg: EDict, model_name: Optional[str] = None) -> EDict:
         exp_path = _find_resume_exp(exp_parent_path, resume_exp)
         # resolve the checkpoint to resume from (reference: trainer.py:550-570)
         prefix = cfg.training.get("resume_prefix", "latest")
+        if isinstance(prefix, int) and not isinstance(prefix, bool):
+            # `resume_prefix=008` YAML-parses to int 8; checkpoints are
+            # saved zero-padded (trainer.py: f"{epoch:03d}.ckpt")
+            prefix = f"{prefix:03d}"
         pattern = "last_checkpoint*" if prefix == "latest" else f"{prefix}*"
         candidates = sorted((exp_path / "checkpoints").glob(pattern + ".ckpt"))
         if candidates:

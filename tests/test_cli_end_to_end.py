@@ -342,3 +342,31 @@ def test_config_override_scientific_notation_floats():
     assert isinstance(cfg.training_params.lr, float)
     assert cfg.a == 1500.0 and cfg.b == 2e-4
     assert cfg.name == "exp2e" and cfg.c == 1.5 and cfg.d == 7
+
+
+def test_init_experiment_resume_numeric_checkpoint_prefix(tmp_path,
+                                                          monkeypatch):
+    """`training.resume_prefix=008` YAML-parses to int 8; it must match the
+    zero-padded checkpoint name 008.ckpt."""
+    from isegprobe_tpu.utils.config import EDict
+    from isegprobe_tpu.utils.exp import init_experiment
+
+    monkeypatch.chdir(tmp_path)
+    model_dir = tmp_path / "models" / "synthetic"
+    model_dir.mkdir(parents=True)
+    script = model_dir / "demo_model.py"
+    script.write_text("main = None\n")
+
+    run = tmp_path / "exps" / "synthetic" / "demo_model" / "000_first"
+    (run / "checkpoints").mkdir(parents=True)
+    (run / "checkpoints" / "008.ckpt").write_bytes(b"x")
+    (run / "checkpoints" / "last_checkpoint.ckpt").write_bytes(b"y")
+
+    cfg = EDict.convert({
+        "exp": {"model_path": str(script), "name": "x"},
+        "training": {"resume_exp": "000", "resume_prefix": 8,
+                     "weights": None},
+        "EXPS_PATH": str(tmp_path / "exps"),
+    })
+    cfg = init_experiment(cfg)
+    assert cfg.training.weights == str(run / "checkpoints" / "008.ckpt")

@@ -62,12 +62,23 @@ def train(model, cfg, dataset_fn=get_sbd_train_val_datasets) -> None:
     optimizer_name, optimizer_params = get_optimizer_cfg(cfg)
     lr_scheduler = get_lr_scheduler(cfg)
 
+    # training.n_devices=null means all visible devices (the trainer's own
+    # default mesh); an explicit count restricts the data-parallel mesh
+    n_devices = (cfg.training.get("n_devices")
+                 if hasattr(cfg.training, "get") else None)
+    mesh = None
+    if n_devices:
+        from isegprobe_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices=int(n_devices))
+
     trainer = iSegTrainer(
         model,
         cfg,
         loss_cfg,
         trainset,
         valset,
+        mesh=mesh,
         optimizer=optimizer_name,
         optimizer_params=optimizer_params,
         layerwise_decay=False,

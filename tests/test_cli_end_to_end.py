@@ -370,3 +370,44 @@ def test_init_experiment_resume_numeric_checkpoint_prefix(tmp_path,
     })
     cfg = init_experiment(cfg)
     assert cfg.training.weights == str(run / "checkpoints" / "008.ckpt")
+
+
+def test_train_wires_n_devices_into_mesh(monkeypatch):
+    """training.n_devices restricts the trainer's data-parallel mesh (it was
+    a documented knob in train_cfg.yaml; the trainer otherwise meshes all
+    visible devices)."""
+    import types
+
+    import models.common as common
+
+    captured = {}
+
+    class _FakeTrainer:
+        def __init__(self, *a, **kw):
+            captured["mesh"] = kw.get("mesh")
+
+        def run(self, **kw):
+            pass
+
+    monkeypatch.setattr(common, "iSegTrainer", _FakeTrainer)
+    monkeypatch.setattr(common, "get_loss_cfg", lambda cfg: {})
+    monkeypatch.setattr(common, "get_optimizer_cfg",
+                        lambda cfg: ("adam", {"lr": 1e-4}))
+    monkeypatch.setattr(common, "get_lr_scheduler",
+                        lambda cfg: {"milestones": [1]})
+
+    from isegprobe_tpu.utils.config import EDict
+
+    cfg = EDict.convert({
+        "training": {"seed": 0, "n_devices": 2},
+        "training_params": {"checkpoint_interval": [[0, 1]],
+                            "num_max_points": 4, "epochs": 1,
+                            "do_validation": False},
+    })
+    common.train(model=None, cfg=cfg, dataset_fn=lambda c: (None, None))
+    assert captured["mesh"] is not None
+    assert captured["mesh"].devices.size == 2
+
+    cfg.training.n_devices = None
+    common.train(model=None, cfg=cfg, dataset_fn=lambda c: (None, None))
+    assert captured["mesh"] is None  # trainer default = all devices

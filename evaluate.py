@@ -65,7 +65,17 @@ def get_dataset(dataset_name: str, main_cfg):
 
 
 def get_zoomin_params(eval_cfg, dataset_name):
-    """(reference: core/inference/utils.py:301-320)"""
+    """(reference: core/inference/utils.py:292-320)"""
+    if eval_cfg.get("eval_ritm", False):
+        # RITM protocol: adaptive ZoomIn (reference skip_clicks default 1)
+        # at the RITM crop sizes; fixed modes stay fixed
+        if eval_cfg.eval_mode == "cvpr":
+            size = 600 if dataset_name == "DAVIS" else 400
+            return {"skip_clicks": 1, "target_size": (size, size)}
+        if eval_cfg.eval_mode.startswith("fixed"):
+            crop = int(eval_cfg.eval_mode[5:])
+            return {"skip_clicks": -1, "target_size": (crop, crop)}
+        raise NotImplementedError(f"Unknown eval_mode: {eval_cfg.eval_mode}")
     if eval_cfg.eval_mode == "cvpr":
         return {
             "skip_clicks": -1,
@@ -88,12 +98,19 @@ def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     dtype_name = str(eval_cfg.get("dtype", "float32"))
     import jax.numpy as jnp
 
+    # eval_ritm: RITM-protocol evaluation (reference evaluate.py:70-86 +
+    # serialization.py:88-90) — force the RITM maps_transform conv on and
+    # skip the SimpleClick-style pos-embed pre-interpolation
+    eval_ritm = bool(eval_cfg.get("eval_ritm", False))
+    overrides = {"use_rgb_conv": True} if eval_ritm else {}
     if dtype_name == "int8":
         # dynamic W8A8 backbone dense layers on the int8 MXU (ops/quant.py);
         # everything the int8 path does not cover runs bf16
-        model = build_model(config, dtype=jnp.bfloat16, quant="int8")
+        model = build_model(config, dtype=jnp.bfloat16, quant="int8",
+                            **overrides)
     else:
-        model = build_model(config, dtype=getattr(jnp, dtype_name))
+        model = build_model(config, dtype=getattr(jnp, dtype_name),
+                            **overrides)
     # fresh init (frozen/pretrained modules), overlaid with the checkpoint
     h, w = target_size
     n_ch = 4 if config["params"].get("with_prev_mask") else 3
@@ -101,8 +118,9 @@ def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     points = np.full((1, 40, 3), -1.0, dtype=np.float32)
     full = model.init(jax.random.PRNGKey(0), image, points)["params"]
     params = merge_params(full, params)
-    model, params = interpolate_backbone_pos_embed(model, params, config,
-                                                   target_size)
+    if not eval_ritm:
+        model, params = interpolate_backbone_pos_embed(model, params, config,
+                                                       target_size)
     if dtype_name in ("bfloat16", "int8"):
         # halve the weight HBM traffic too — the dominant cost of a
         # latency-bound batch-2 forward (int8 quantizes on the fly from
@@ -233,6 +251,15 @@ def main() -> None:
             use_device_loop = (
                 eval_cfg.get("device_loop", False) and eval_cfg.mode == "NoBRS"
             )
+            if use_device_loop and zoomin_params.get("skip_clicks", -1) >= 0:
+                # the compiled loop's ROI state machine models the fixed /
+                # SimpleClick-style ZoomIn; RITM's click-skipping variant
+                # runs on the host per-click path
+                logger.info(
+                    "skip_clicks>=0 (eval_ritm): falling back from "
+                    "device_loop to the host per-click path"
+                )
+                use_device_loop = False
             if use_device_loop and (vis_callback or feats_callback):
                 # per-click probability maps never reach the host inside the
                 # compiled loop — visual callbacks need the host protocol

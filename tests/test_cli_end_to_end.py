@@ -411,3 +411,48 @@ def test_train_wires_n_devices_into_mesh(monkeypatch):
     cfg.training.n_devices = None
     common.train(model=None, cfg=cfg, dataset_fn=lambda c: (None, None))
     assert captured["mesh"] is None  # trainer default = all devices
+
+
+def test_evaluate_eval_ritm_config_effects(fixture_checkpoint, monkeypatch):
+    """eval_ritm=true mirrors the reference's consumption of the flag
+    (reference evaluate.py:70-86): the RITM maps_transform conv is forced
+    on at model build, pos-embed pre-interpolation is skipped, and cvpr
+    mode gets the RITM adaptive-ZoomIn crop sizes. (As in the reference,
+    the stride-2 RITM conv only composes with RITM-family architectures,
+    none of which exist in the probing framework — docs/PARITY.md.)"""
+    repo = Path(__file__).resolve().parents[1]
+    monkeypatch.chdir(repo)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "isegprobe_evaluate_cli_ritm", repo / "evaluate.py"
+    )
+    evaluate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(evaluate)
+
+    # model build: RITM mode forces the maps_transform conv on (flax init
+    # runs a forward, so a full load additionally needs an embed_coords
+    # config sized for the stride-2 coord map, e.g. patch 7 at 224 eval)
+    from isegprobe_tpu.utils.serialization import (
+        build_model,
+        load_checkpoint,
+    )
+
+    _, config, _ = load_checkpoint(str(fixture_checkpoint))
+    model = build_model(config, use_rgb_conv=True)
+    assert model.use_rgb_conv
+
+    # cvpr+ritm -> adaptive ZoomIn at the RITM crop size; fixed stays fixed
+    class _EC(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    zp = evaluate.get_zoomin_params(
+        _EC(eval_mode="cvpr", eval_ritm=True), "GrabCut")
+    assert zp == {"skip_clicks": 1, "target_size": (400, 400)}
+    zp = evaluate.get_zoomin_params(
+        _EC(eval_mode="cvpr", eval_ritm=True), "DAVIS")
+    assert zp == {"skip_clicks": 1, "target_size": (600, 600)}
+    zp = evaluate.get_zoomin_params(
+        _EC(eval_mode="fixed400", eval_ritm=True), "GrabCut")
+    assert zp == {"skip_clicks": -1, "target_size": (400, 400)}

@@ -176,11 +176,17 @@ def main() -> None:
     from isegprobe_tpu.parallel.mesh import maybe_init_distributed
     from isegprobe_tpu.utils.misc import enable_compile_cache
 
+    overrides = [a for a in sys.argv[1:] if "=" in a]
+    eval_cfg = load_config("configs/eval_cfg.yaml", overrides)
+    if eval_cfg.get("cpu", False):
+        # force the CPU backend (the reference's `cpu: true` torch-device
+        # knob, eval_cfg.yaml:10) — must run before any device use
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     maybe_init_distributed()
     enable_compile_cache()
 
-    overrides = [a for a in sys.argv[1:] if "=" in a]
-    eval_cfg = load_config("configs/eval_cfg.yaml", overrides)
     main_cfg = load_yaml(eval_cfg.main_cfg_path)
 
     if (eval_cfg.iou_analysis or eval_cfg.print_ious) and eval_cfg.min_n_clicks <= 1:

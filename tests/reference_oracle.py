@@ -45,8 +45,14 @@ def setup_reference():
     """Make `core.*` of the reference importable; returns False if absent."""
     if not reference_available():
         return False
+    # APPEND, never prepend: the reference tree also contains a `models/`
+    # package which would otherwise shadow this repo's `models/` for every
+    # test collected after the first parity module (observed as
+    # `models.common` resolving to /root/reference/models and failing on
+    # the reference's easydict import). The reference's `core` package has
+    # no repo-side name collision, so appending suffices for `core.*`.
     if str(REFERENCE_PATH) not in sys.path:
-        sys.path.insert(0, str(REFERENCE_PATH))
+        sys.path.append(str(REFERENCE_PATH))
     import importlib.util
 
     def _installed(name: str) -> bool:

@@ -107,11 +107,17 @@ def get_synthetic_train_val_datasets(cfg) -> Tuple:
         max_num_merged_objects=2,
     )
 
+    # Render scenes at the training resolution: coordinate-based upsamplers
+    # (LoftUp) are grid-specific, so a 448 crop_size must see genuine 448
+    # scenes, not 224 renders padded up. Object-area thresholds scale with
+    # the scene area to keep the instance-size distribution equivalent.
+    area_scale = (crop_size[0] * crop_size[1]) / (224 * 224)
     trainset = SyntheticShapesDataset(
         n_samples=320,
         seed=17,
+        image_size=tuple(crop_size),
         augmentator=train_augmentator,
-        min_object_area=80,
+        min_object_area=int(80 * area_scale),
         keep_background_prob=0.01,
         points_sampler=points_sampler,
         epoch_len=320,
@@ -119,8 +125,9 @@ def get_synthetic_train_val_datasets(cfg) -> Tuple:
     valset = SyntheticShapesDataset(
         n_samples=48,
         seed=999,
+        image_size=tuple(crop_size),
         augmentator=val_augmentator,
-        min_object_area=80,
+        min_object_area=int(80 * area_scale),
         points_sampler=points_sampler,
         epoch_len=48,
     )

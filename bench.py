@@ -196,28 +196,21 @@ def measure_refill_vs_lockstep(batch_size: int = 8, n_samples: int = 24,
                                 min_shapes=1, max_shapes=3, seed=23,
                                 min_instance_area=900)
 
-    class _Eval:
-        def __len__(self):
-            return n_samples
-
-        def get_sample(self, i):
-            return ds.get_sample(i)
-
     common = dict(target_size=(448, 448), max_clicks=20, net_clicks_limit=20,
                   pred_thr=0.49, target_iou=target_iou, with_flip=True)
     lock = make_device_evaluator(model, batch_size=batch_size, **common)
     refill = make_device_evaluator(model, batch_size=batch_size,
                                    refill_api=True, chunk_clicks=4, **common)
 
-    evaluate_dataset_device(lock, params, _Eval(), batch_size=batch_size)
+    evaluate_dataset_device(lock, params, ds, batch_size=batch_size)
     t0 = time.perf_counter()
-    ious_l = evaluate_dataset_device(lock, params, _Eval(),
+    ious_l = evaluate_dataset_device(lock, params, ds,
                                      batch_size=batch_size)
     lock_cps = sum(len(a) for a in ious_l) / (time.perf_counter() - t0)
 
-    evaluate_dataset_refill(refill, params, _Eval())
+    evaluate_dataset_refill(refill, params, ds)
     t0 = time.perf_counter()
-    ious_r = evaluate_dataset_refill(refill, params, _Eval())
+    ious_r = evaluate_dataset_refill(refill, params, ds)
     refill_cps = sum(len(a) for a in ious_r) / (time.perf_counter() - t0)
     return lock_cps, refill_cps
 

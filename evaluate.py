@@ -64,6 +64,27 @@ def get_dataset(dataset_name: str, main_cfg):
     raise NotImplementedError(f"Dataset key: {dataset_name} is not found.")
 
 
+def _normalize_trunk_cache(value) -> str:
+    """CLI booleans are natural here (`trunk_cache=true`); map them onto the
+    three-valued knob and reject typos instead of silently disabling the
+    cache (make_device_evaluator only matches 'on'/'auto'/'off')."""
+    if isinstance(value, bool):
+        return "on" if value else "off"
+    mode = str(value).strip().lower()
+    if mode not in ("on", "auto", "off"):
+        raise ValueError(
+            f"trunk_cache={value!r}: expected on/auto/off (or true/false)")
+    return mode
+
+
+def _parse_fixed_mode(eval_mode: str):
+    """'fixed<n>' or 'fixed<h>,<w>' -> (h, w)."""
+    crop = eval_mode.split(",")
+    h = int(crop[0][5:])
+    w = int(crop[1]) if len(crop) == 2 else h
+    return h, w
+
+
 def get_zoomin_params(eval_cfg, dataset_name):
     """(reference: core/inference/utils.py:292-320)"""
     if eval_cfg.get("eval_ritm", False):
@@ -73,8 +94,8 @@ def get_zoomin_params(eval_cfg, dataset_name):
             size = 600 if dataset_name == "DAVIS" else 400
             return {"skip_clicks": 1, "target_size": (size, size)}
         if eval_cfg.eval_mode.startswith("fixed"):
-            crop = int(eval_cfg.eval_mode[5:])
-            return {"skip_clicks": -1, "target_size": (crop, crop)}
+            return {"skip_clicks": -1,
+                    "target_size": _parse_fixed_mode(eval_cfg.eval_mode)}
         raise NotImplementedError(f"Unknown eval_mode: {eval_cfg.eval_mode}")
     if eval_cfg.eval_mode == "cvpr":
         return {
@@ -82,10 +103,8 @@ def get_zoomin_params(eval_cfg, dataset_name):
             "target_size": (672, 672) if dataset_name == "DAVIS" else (448, 448),
         }
     if eval_cfg.eval_mode.startswith("fixed"):
-        crop = eval_cfg.eval_mode.split(",")
-        h = int(crop[0][5:])
-        w = int(crop[1]) if len(crop) == 2 else h
-        return {"skip_clicks": -1, "target_size": (h, w)}
+        return {"skip_clicks": -1,
+                "target_size": _parse_fixed_mode(eval_cfg.eval_mode)}
     raise NotImplementedError(f"Unknown eval_mode: {eval_cfg.eval_mode}")
 
 
@@ -333,7 +352,8 @@ def main() -> None:
                     pred_thr=eval_cfg.thresh, target_iou=eval_cfg.target_iou,
                     min_clicks=eval_cfg.min_n_clicks,
                     with_flip=True, batch_size=device_batch, mesh=mesh,
-                    trunk_cache=str(eval_cfg.get("trunk_cache", "auto")),
+                    trunk_cache=_normalize_trunk_cache(
+                        eval_cfg.get("trunk_cache", "auto")),
                     refill_api=device_refill,
                     chunk_clicks=int(eval_cfg.get("chunk_clicks", 4)),
                 )

@@ -248,7 +248,12 @@ class iSegTrainer:
                      # lr was popped from optimizer_params above, and the
                      # schedule's step boundaries bake in steps_per_epoch —
                      # both are traced constants of the compiled step
-                     self.base_lr, steps_per_epoch)
+                     self.base_lr, steps_per_epoch,
+                     # the mesh layout changes shardings but not shapes or
+                     # the program name — without this term, runs differing
+                     # only in training.n_devices alias in the name+shape
+                     # keyed remote executable cache (docs/PERF.md)
+                     repr((self.mesh.axis_names, self.mesh.devices.shape)))
         self._train_step = jax.jit(
             stamped(partial(self._step, training=True), step_salt),
             donate_argnums=(0, 1),

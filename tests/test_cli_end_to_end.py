@@ -413,6 +413,37 @@ def test_train_wires_n_devices_into_mesh(monkeypatch):
     assert captured["mesh"] is None  # trainer default = all devices
 
 
+def test_zoomin_params_rect_fixed_mode_and_trunk_cache_normalization(
+        monkeypatch):
+    """The documented 'fixed<h>,<w>' eval_mode must parse in BOTH protocol
+    branches (the RITM branch used int(mode[5:]) and crashed on the comma),
+    and trunk_cache must accept CLI booleans / reject typos instead of
+    silently disabling the cache."""
+    repo = Path(__file__).resolve().parents[1]
+    monkeypatch.chdir(repo)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "isegprobe_evaluate_cli_parse", repo / "evaluate.py")
+    evaluate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(evaluate)
+
+    class _EC(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    for ritm in (False, True):
+        zp = evaluate.get_zoomin_params(
+            _EC(eval_mode="fixed448,672", eval_ritm=ritm), "GrabCut")
+        assert zp == {"skip_clicks": -1, "target_size": (448, 672)}
+
+    norm = evaluate._normalize_trunk_cache
+    assert norm(True) == "on" and norm(False) == "off"
+    assert norm("Auto") == "auto" and norm("ON") == "on"
+    with pytest.raises(ValueError, match="trunk_cache"):
+        norm("cached")
+
+
 def test_evaluate_eval_ritm_config_effects(fixture_checkpoint, monkeypatch):
     """eval_ritm=true mirrors the reference's consumption of the flag
     (reference evaluate.py:70-86): the RITM maps_transform conv is forced

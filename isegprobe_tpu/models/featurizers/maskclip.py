@@ -40,6 +40,7 @@ class _CLIPAttention(nn.Module):
     heads: int
     attn_impl: str = "auto"
     causal: bool = False
+    quant: Any = None  # 'int8': W8A8 dense layers (ops/quant.py)
 
     def setup(self):
         d = self.width
@@ -48,12 +49,28 @@ class _CLIPAttention(nn.Module):
         )
         self.in_proj_bias = self.param("in_proj_bias", nn.initializers.zeros,
                                        (3 * d,))
-        self.out_proj = nn.Dense(d, name="out_proj")
+        if self.quant == "int8":
+            from isegprobe_tpu.ops.quant import QuantDense
+
+            self.out_proj = QuantDense(d, name="out_proj")
+        else:
+            self.out_proj = nn.Dense(d, name="out_proj")
+
+    def _qkv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x @ in_proj.T + bias — the packed torch MultiheadAttention stem;
+        int8 keeps the same param (the transpose is free inside the quant
+        matmul's weight pass)."""
+        if self.quant == "int8":
+            from isegprobe_tpu.ops.quant import int8_dynamic_matmul
+
+            return (int8_dynamic_matmul(x, self.in_proj_weight.T)
+                    .astype(x.dtype) + self.in_proj_bias)
+        return x @ self.in_proj_weight.T + self.in_proj_bias
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.width
         dh = d // self.heads
-        qkv = x @ self.in_proj_weight.T + self.in_proj_bias
+        qkv = self._qkv(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, n, _ = x.shape
         if self.causal:
@@ -91,14 +108,21 @@ class _CLIPBlock(nn.Module):
     heads: int
     attn_impl: str = "auto"
     causal: bool = False
+    quant: Any = None
 
     def setup(self):
         self.ln_1 = nn.LayerNorm(epsilon=1e-5, name="ln_1")
         self.attn = _CLIPAttention(self.width, self.heads, self.attn_impl,
-                                   self.causal, name="attn")
+                                   self.causal, self.quant, name="attn")
         self.ln_2 = nn.LayerNorm(epsilon=1e-5, name="ln_2")
-        self.c_fc = nn.Dense(self.width * 4, name="c_fc")
-        self.c_proj = nn.Dense(self.width, name="c_proj")
+        if self.quant == "int8":
+            from isegprobe_tpu.ops.quant import QuantDense
+
+            self.c_fc = QuantDense(self.width * 4, name="c_fc")
+            self.c_proj = QuantDense(self.width, name="c_proj")
+        else:
+            self.c_fc = nn.Dense(self.width * 4, name="c_fc")
+            self.c_proj = nn.Dense(self.width, name="c_proj")
 
     def _mlp(self, x):
         h = self.c_fc(x)
@@ -123,6 +147,7 @@ class CLIPVisionTransformer(nn.Module):
     pretrain_grid: int = 14
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    quant: Any = None  # 'int8': W8A8 dense layers in the resblocks
 
     def setup(self):
         w = self.width
@@ -138,7 +163,8 @@ class CLIPVisionTransformer(nn.Module):
         )
         self.ln_pre = nn.LayerNorm(epsilon=1e-5, name="ln_pre")
         self.resblocks = [
-            _CLIPBlock(w, self.heads, self.attn_impl, name=f"resblocks_{i}")
+            _CLIPBlock(w, self.heads, self.attn_impl, quant=self.quant,
+                       name=f"resblocks_{i}")
             for i in range(self.layers)
         ]
         self.ln_post = nn.LayerNorm(epsilon=1e-5, name="ln_post")
@@ -199,6 +225,7 @@ class MaskCLIPFeaturizer(nn.Module):
     feats_injection_mode: str = "no_injection"
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    quant: Any = None  # 'int8': W8A8 dense layers (ops/quant.py)
 
     @property
     def patch_size(self) -> int:
@@ -211,7 +238,8 @@ class MaskCLIPFeaturizer(nn.Module):
             )
         arch = dict(CLIP_ARCHS[self.model_name])
         self.model = CLIPVisionTransformer(
-            **arch, dtype=self.dtype, attn_impl=self.attn_impl, name="model"
+            **arch, dtype=self.dtype, attn_impl=self.attn_impl,
+            quant=self.quant, name="model"
         )
 
     def __call__(self, x, additional_features=None):

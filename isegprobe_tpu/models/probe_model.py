@@ -40,13 +40,14 @@ TRAINABLE_SUBMODULES = ("embed_coords", "head", "neck")
 def build_featurizer(ftype: str, params: Dict, **common) -> nn.Module:
     ftype = ftype.lower()
     params = dict(params or {})
-    if ftype in ("simple_vit", "mask_clip"):
-        # int8 serving covers the unified-ViT backbones; these two keep their
-        # own block implementations (explicit failure beats silent fallback)
+    if ftype == "simple_vit":
+        # int8 serving covers the unified-ViT and CLIP towers; SimpleViT is
+        # the trainable click encoder and stays at the float dtype by design
+        # (explicit failure beats silent fallback)
         if common.get("quant"):
             raise NotImplementedError(
                 f"quant={common['quant']!r} is not supported for {ftype} "
-                "(ViT-family backbones only)")
+                "(frozen backbone towers only)")
         common = {k: v for k, v in common.items() if k != "quant"}
     if ftype == "dinov2":
         return DINOv2Featurizer(**params, **common)

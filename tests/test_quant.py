@@ -92,9 +92,35 @@ def test_probe_model_int8_forward_close_to_bf16():
     assert err < 0.08, f"max prob deviation {err:.4f}"
 
 
-def test_quant_rejected_for_non_vit_backbones():
+def test_quant_rejected_for_simple_vit_click_encoder():
+    """SimpleViT is the trainable click encoder — it stays float by design."""
     from isegprobe_tpu.models.probe_model import build_featurizer
 
     with pytest.raises(NotImplementedError):
-        build_featurizer("mask_clip", {}, dtype=jnp.bfloat16,
-                         attn_impl="jnp", quant="int8")
+        build_featurizer(
+            "simple_vit",
+            dict(img_size=(28, 28), patch_size=(14, 14), embed_dim=32,
+                 depth=1, heads=2, mlp_dim=64),
+            dtype=jnp.bfloat16, attn_impl="jnp", quant="int8")
+
+
+def test_maskclip_int8_features_close_to_float():
+    """int8 W8A8 now covers the CLIP tower (packed in_proj + out_proj +
+    c_fc/c_proj); same param tree, bounded feature deviation."""
+    from isegprobe_tpu.models.featurizers.maskclip import CLIPVisionTransformer
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+
+    kw = dict(patch_size=16, width=64, layers=2, heads=2, output_dim=32,
+              pretrain_grid=2, attn_impl="jnp")
+    f32 = CLIPVisionTransformer(**kw)
+    params = f32.init(jax.random.PRNGKey(0), x)["params"]
+    ref = f32.apply({"params": params}, x)
+
+    int8 = CLIPVisionTransformer(**kw, quant="int8")
+    out = int8.apply({"params": params}, x)  # same tree: QuantDense drop-in
+
+    err = float(jnp.max(jnp.abs(ref - out)))
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    assert err / scale < 0.12, f"relative feature deviation {err / scale:.4f}"

@@ -86,8 +86,19 @@ def get_synthetic_train_val_datasets(cfg) -> Tuple:
     cfg.dataloader.val_batch_size = cfg.dataloader.batch_size
     crop_size = cfg.training_params.crop_size
 
+    # Two optional knobs for eval-statistics matching at high-res crops
+    # (the fixed-448 ZoomIn protocol shows the model 2-4.5x UPSCALED content
+    # from the 224-rendered eval scenes — guidance-conditioned upsamplers
+    # like random-init LoftUp are sensitive to that content scale):
+    #   * render_size: scene raster size (default: follow crop_size);
+    #   * aug_scale_range: UniformRandomResize range (default 0.75-1.25).
+    render_size = tuple(
+        getattr(cfg.training_params, "render_size", None) or crop_size)
+    scale_range = tuple(
+        getattr(cfg.training_params, "aug_scale_range", None) or (0.75, 1.25))
+
     train_augmentator = T.Compose([
-        T.UniformRandomResize(scale_range=(0.75, 1.25)),
+        T.UniformRandomResize(scale_range=scale_range),
         T.Flip(),
         T.RandomRotate90(),
         T.PadIfNeeded(min_height=crop_size[0], min_width=crop_size[1]),
@@ -107,15 +118,18 @@ def get_synthetic_train_val_datasets(cfg) -> Tuple:
         max_num_merged_objects=2,
     )
 
-    # Render scenes at the training resolution: coordinate-based upsamplers
-    # (LoftUp) are grid-specific, so a 448 crop_size must see genuine 448
-    # scenes, not 224 renders padded up. Object-area thresholds scale with
-    # the scene area to keep the instance-size distribution equivalent.
-    area_scale = (crop_size[0] * crop_size[1]) / (224 * 224)
+    # Render scenes at render_size (defaults to the training resolution):
+    # coordinate-based upsamplers (LoftUp) are grid-specific, so a 448
+    # crop_size must see genuine 448-grid inputs — either native 448 renders
+    # or (render_size=[224,224] + aug_scale_range=[2,4.5]) upscaled 224
+    # renders matching the fixed-448 ZoomIn eval statistics. Object-area
+    # thresholds scale with the scene area to keep the instance-size
+    # distribution equivalent.
+    area_scale = (render_size[0] * render_size[1]) / (224 * 224)
     trainset = SyntheticShapesDataset(
         n_samples=320,
         seed=17,
-        image_size=tuple(crop_size),
+        image_size=render_size,
         augmentator=train_augmentator,
         min_object_area=int(80 * area_scale),
         keep_background_prob=0.01,
@@ -125,7 +139,7 @@ def get_synthetic_train_val_datasets(cfg) -> Tuple:
     valset = SyntheticShapesDataset(
         n_samples=48,
         seed=999,
-        image_size=tuple(crop_size),
+        image_size=render_size,
         augmentator=val_augmentator,
         min_object_area=int(80 * area_scale),
         points_sampler=points_sampler,

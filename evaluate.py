@@ -55,12 +55,18 @@ def get_dataset(dataset_name: str, main_cfg):
     if dataset_name == "COCO_MVal":
         return DavisDataset(paths.COCO_MVAL_PATH)
     if dataset_name.startswith("Synthetic"):
-        # "Synthetic" or "Synthetic:<n_samples>" — procedural scenes, no files
+        # "Synthetic[:<n_samples>[:<render_size>]]" — procedural scenes, no
+        # files; render_size (default 224) rasterizes scenes at another
+        # resolution (e.g. Synthetic:50:448 for content-scale diagnostics)
         from isegprobe_tpu.data.datasets import SyntheticShapesDataset
 
-        n = int(dataset_name.split(":")[1]) if ":" in dataset_name else 50
+        parts = dataset_name.split(":")
+        n = int(parts[1]) if len(parts) > 1 else 50
+        size = int(parts[2]) if len(parts) > 2 else 224
+        scale = (size * size) / (224 * 224)
         return SyntheticShapesDataset(n_samples=n, seed=2026,
-                                      min_instance_area=1400)
+                                      image_size=(size, size),
+                                      min_instance_area=int(1400 * scale))
     raise NotImplementedError(f"Dataset key: {dataset_name} is not found.")
 
 

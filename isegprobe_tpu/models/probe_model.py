@@ -73,14 +73,22 @@ def build_featurizer(ftype: str, params: Dict, **common) -> nn.Module:
     raise ValueError(f"Unsupported backbone type: {ftype}")
 
 
-def build_upsampler(utype: str, params: Optional[Dict]) -> nn.Module:
+def build_upsampler(utype: str, params: Optional[Dict],
+                    dtype=None) -> nn.Module:
     utype = utype.lower()
     if utype not in UPSAMPLER_REGISTRY:
         _register_learned()
     if utype not in UPSAMPLER_REGISTRY:
         raise ValueError(f"Unsupported upsampler type: {utype}")
     cls = UPSAMPLER_REGISTRY[utype]
-    return cls(**params) if params else cls()
+    kwargs = dict(params) if params else {}
+    # propagate the model compute dtype to upsamplers that support one
+    # (JBU/LiFT/LoftUp) unless the config pins it explicitly — without this
+    # the bf16 serving/training modes silently ran learned upsamplers in f32
+    fields = getattr(cls, "__dataclass_fields__", {})
+    if dtype is not None and "dtype" in fields and "dtype" not in kwargs:
+        kwargs["dtype"] = dtype
+    return cls(**kwargs)
 
 
 def build_head(htype: str, params: Dict) -> nn.Module:
@@ -201,7 +209,8 @@ class iSegProbeModel(nn.Module):
         ucfg = self.upsampler_cfg
         self.upsampler_type = ucfg["type"] if ucfg else "bilinear"
         self.upsampler = build_upsampler(
-            self.upsampler_type, ucfg.get("params") if ucfg else None
+            self.upsampler_type, ucfg.get("params") if ucfg else None,
+            dtype=self.dtype,
         )
         self.head = build_head(self.head_cfg["type"], dict(self.head_cfg["params"]))
 

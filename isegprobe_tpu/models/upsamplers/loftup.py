@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isegprobe_tpu.models.vit import mm_precision
 from isegprobe_tpu.ops.attention import mha
 
 
@@ -30,10 +31,11 @@ class ChannelNorm(nn.Module):
     """LayerNorm over the channel axis (reference: loftup/layers.py:26-35)."""
 
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class ConvNeXtLayerNorm(nn.Module):
@@ -42,15 +44,17 @@ class ConvNeXtLayerNorm(nn.Module):
 
     dim: int
     eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         weight = self.param("weight", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        x = x.astype(self.dtype)
         u = x.mean(axis=-1, keepdims=True)
         s = jnp.square(x - u).mean(axis=-1, keepdims=True)
         x = (x - u) / jnp.sqrt(s + self.eps)
-        return weight * x + bias
+        return (weight.astype(self.dtype) * x + bias.astype(self.dtype))
 
 
 def min_max_scale(x: jnp.ndarray) -> jnp.ndarray:
@@ -85,6 +89,11 @@ class ImplicitFeaturizer(nn.Module):
     color_feats: bool = True
     n_freqs: int = 10
     learn_bias: bool = False
+    # Output/compute dtype of the feature map. The Fourier PHASES are always
+    # computed in f32 (freqs reach e^10 ≈ 2.2e4 — bf16 phase would be pure
+    # noise); only the bounded sin/cos outputs are cast down, so bf16 halves
+    # the dominant [B,H,W,2·nf·dm] activations with no phase error.
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, row_coords: jnp.ndarray | None = None
@@ -97,9 +106,9 @@ class ImplicitFeaturizer(nn.Module):
         gh = row_coords if row_coords is not None else jnp.linspace(-1.0, 1.0, h)
         gw = jnp.linspace(-1.0, 1.0, w)
         grid = jnp.stack(jnp.meshgrid(gh, gw, indexing="ij"), axis=-1)  # [H,W,2]
-        feats = jnp.broadcast_to(grid[None], (b, h, w, 2))
+        feats = jnp.broadcast_to(grid[None], (b, h, w, 2)).astype(jnp.float32)
         if self.color_feats:
-            feats = jnp.concatenate([feats, x], axis=-1)  # [B,H,W,dim_mult]
+            feats = jnp.concatenate([feats, x.astype(jnp.float32)], axis=-1)
 
         freqs = jnp.exp(jnp.linspace(-2.0, 10.0, self.n_freqs))
         # [B,H,W,nf,dim_mult]
@@ -120,9 +129,10 @@ class ImplicitFeaturizer(nn.Module):
         nfd = self.n_freqs * dim_mult
         sin_f = sin_f.reshape(b, h, w, nfd)
         cos_f = cos_f.reshape(b, h, w, nfd)
-        parts = [jnp.sin(sin_f), jnp.cos(cos_f)]
+        parts = [jnp.sin(sin_f).astype(self.dtype),
+                 jnp.cos(cos_f).astype(self.dtype)]
         if self.color_feats:
-            parts.append(x)
+            parts.append(x.astype(self.dtype))
         return jnp.concatenate(parts, axis=-1)
 
 
@@ -134,6 +144,7 @@ class _TorchMHA(nn.Module):
     dim: int
     heads: int
     attn_impl: str = "auto"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, q_in, kv_in):
@@ -142,9 +153,14 @@ class _TorchMHA(nn.Module):
         in_w = self.param("in_proj_weight",
                           nn.initializers.xavier_uniform(), (3 * d, d))
         in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
-        q = q_in @ in_w[:d].T + in_b[:d]
-        k = kv_in @ in_w[d : 2 * d].T + in_b[d : 2 * d]
-        v = kv_in @ in_w[2 * d :].T + in_b[2 * d :]
+        in_w = in_w.astype(self.dtype)
+        in_b = in_b.astype(self.dtype)
+        q_in = q_in.astype(self.dtype)
+        kv_in = kv_in.astype(self.dtype)
+        prec = mm_precision(self.dtype)
+        q = jnp.matmul(q_in, in_w[:d].T, precision=prec) + in_b[:d]
+        k = jnp.matmul(kv_in, in_w[d : 2 * d].T, precision=prec) + in_b[d : 2 * d]
+        v = jnp.matmul(kv_in, in_w[2 * d :].T, precision=prec) + in_b[2 * d :]
 
         bq, nq, _ = q.shape
         nk = k.shape[1]
@@ -153,31 +169,38 @@ class _TorchMHA(nn.Module):
         v = v.reshape(bq, nk, self.heads, dh)
         out = mha(q, k, v, scale=dh**-0.5, impl=self.attn_impl)
         out = out.reshape(bq, nq, d)
-        return nn.Dense(d, name="out_proj")(out)
+        return nn.Dense(d, dtype=self.dtype,
+                        precision=mm_precision(self.dtype), name="out_proj")(out)
 
 
 class CrossAttentionLayer(nn.Module):
     dim: int
     heads: int
     attn_impl: str = "auto"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, key_value):
-        q = nn.LayerNorm(epsilon=1e-5, name="norm_q")(query)
-        kv = nn.LayerNorm(epsilon=1e-5, name="norm_kv")(key_value)
-        return _TorchMHA(self.dim, self.heads, self.attn_impl, name="attention")(q, kv)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_q")(query)
+        kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_kv")(key_value)
+        return _TorchMHA(self.dim, self.heads, self.attn_impl,
+                         dtype=self.dtype, name="attention")(q, kv)
 
 
 class _FeedForward(nn.Module):
     dim: int
     hidden_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        x = nn.Dense(self.hidden_dim, name="fc1")(x)
+        prec = mm_precision(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, precision=prec,
+                     name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, name="fc2")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, precision=prec,
+                        name="fc2")(x)
 
 
 class CATransformer(nn.Module):
@@ -186,26 +209,33 @@ class CATransformer(nn.Module):
     heads: int
     mlp_dim: int
     attn_impl: str = "auto"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, key_value):
+        query = query.astype(self.dtype)
+        key_value = key_value.astype(self.dtype)
         for i in range(self.depth):
             query = CrossAttentionLayer(self.dim, self.heads, self.attn_impl,
+                                        dtype=self.dtype,
                                         name=f"ca_{i}")(query, key_value) + query
-            query = _FeedForward(self.dim, self.mlp_dim, name=f"ff_{i}")(query) + query
-        return nn.LayerNorm(epsilon=1e-5, name="norm")(query)
+            query = _FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
+                                 name=f"ff_{i}")(query) + query
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(query)
 
 
 class _ConvBNRelu(nn.Module):
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         from isegprobe_tpu.models.upsamplers.lift import FrozenBatchNorm
 
-        x = nn.Conv(self.features, (3, 3), padding=1, name="conv")(x)
+        x = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                    precision=mm_precision(self.dtype), name="conv")(x)
         x = FrozenBatchNorm(self.features, name="bn")(x)
-        return nn.relu(x)
+        return nn.relu(x).astype(self.dtype)
 
 
 class LoftUpUpsampler(nn.Module):
@@ -231,6 +261,11 @@ class LoftUpUpsampler(nn.Module):
     # attend to each other.
     query_chunk_rows: int = 64
     query_chunk_min_pixels: int = 120_000
+    # Compute dtype (params stay f32). Injected by the model builder from
+    # iSegProbeModel.dtype — bf16 halves the per-pixel query activations
+    # (the HBM bound at 448² training) and runs the cross-attention one-pass
+    # on the MXU. Fourier phases stay f32 (see ImplicitFeaturizer.dtype).
+    dtype: Any = jnp.float32
 
     def setup(self):
         # setup-style (attribute name == param scope name, matching the
@@ -240,16 +275,20 @@ class LoftUpUpsampler(nn.Module):
         # backward recomputes one slab at a time.
         dim = self.n_dim
         self._cdim = dim + 2 * 5 * 2  # + sine PE (no color, n_freqs=5)
-        self.channelnorm = ChannelNorm(dim)
-        self.lr_pe = ImplicitFeaturizer(False, 5, True)
-        self.fourier_feat = ImplicitFeaturizer(True, self.n_freqs, True)
-        self.first_norm = ChannelNorm(2 * self.n_freqs * 5 + 3)
-        self.first_conv1 = _ConvBNRelu(self._cdim)
-        self.first_conv2 = _ConvBNRelu(self._cdim)
+        self.channelnorm = ChannelNorm(dim, dtype=self.dtype)
+        self.lr_pe = ImplicitFeaturizer(False, 5, True, dtype=self.dtype)
+        self.fourier_feat = ImplicitFeaturizer(True, self.n_freqs, True,
+                                               dtype=self.dtype)
+        self.first_norm = ChannelNorm(2 * self.n_freqs * 5 + 3,
+                                      dtype=self.dtype)
+        self.first_conv1 = _ConvBNRelu(self._cdim, dtype=self.dtype)
+        self.first_conv2 = _ConvBNRelu(self._cdim, dtype=self.dtype)
         self.ca_transformer = CATransformer(
-            self._cdim, self.num_layers, self.num_heads, dim, self.attn_impl)
-        self.final_conv = nn.Conv(dim, (1, 1))
-        self.final_ln = ConvNeXtLayerNorm(dim)
+            self._cdim, self.num_layers, self.num_heads, dim, self.attn_impl,
+            dtype=self.dtype)
+        self.final_conv = nn.Conv(dim, (1, 1), dtype=self.dtype,
+                                  precision=mm_precision(self.dtype))
+        self.final_ln = ConvNeXtLayerNorm(dim, dtype=self.dtype)
 
     def _slab(self, x_rows, kv, row_coords, in_frame):
         """Query tower for one horizontal slab (+2-row halo): Fourier stem ->

@@ -507,6 +507,12 @@ def make_device_evaluator(
     if refill_api:
         if batch_size <= 1:
             raise ValueError("refill_api requires batch_size > 1")
+        if mesh is not None:
+            # the refill driver's per-lane scatter updates are host-driven
+            # and single-chip; a mesh would be silently ignored below
+            raise ValueError("refill_api does not support mesh sharding; "
+                             "use the lockstep evaluator (refill_api=False) "
+                             "with mesh, or drop mesh for refill")
 
         def refill_init(params, images, gts, valid_hws):
             return _init_state(params, images, gts, valid_hws)

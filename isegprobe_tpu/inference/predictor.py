@@ -304,16 +304,8 @@ class TPUPredictor:
         """Pad clicks into the fixed [1, 2N, 3] buffer, positives first
         (reference: base_predictor.py:194-225)."""
         n = self.net_clicks_limit
-        clicks_list = clicks_list[:n]
         points = np.full((1, 2 * n, 3), -1.0, dtype=np.float32)
-        pi = ni = 0
-        for click in clicks_list:
-            if click.is_positive:
-                points[0, pi] = click.coords_and_indx
-                pi += 1
-            else:
-                points[0, n + ni] = click.coords_and_indx
-                ni += 1
+        _pack_clicks_row(points, 0, clicks_list, n)
         return points
 
     def get_prediction(self, clicker: Clicker, prev_mask=None) -> np.ndarray:

@@ -50,10 +50,13 @@ class ConvNeXtLayerNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         weight = self.param("weight", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-        x = x.astype(self.dtype)
-        u = x.mean(axis=-1, keepdims=True)
-        s = jnp.square(x - u).mean(axis=-1, keepdims=True)
-        x = (x - u) / jnp.sqrt(s + self.eps)
+        # stats in f32 even under a bf16 compute dtype (matching every other
+        # norm in the bf16 path: flax force_float32_reductions, FusedLayerNorm)
+        xf = x.astype(jnp.float32)
+        u = xf.mean(axis=-1, keepdims=True)
+        s = jnp.square(xf - u).mean(axis=-1, keepdims=True)
+        xf = (xf - u) / jnp.sqrt(s + self.eps)
+        x = xf.astype(self.dtype)
         return (weight.astype(self.dtype) * x + bias.astype(self.dtype))
 
 

@@ -118,3 +118,14 @@ def test_refill_requires_batch():
     model, params = _make_model("before_backbone")
     with pytest.raises(ValueError):
         make_device_evaluator(model, target_size=(56, 56), refill_api=True)
+
+
+def test_refill_rejects_mesh():
+    """The refill driver is host-driven and single-chip: a mesh must raise,
+    not be silently ignored (the lockstep evaluator is the mesh path)."""
+    from isegprobe_tpu.parallel.mesh import make_mesh
+
+    model, params = _make_model("before_backbone")
+    with pytest.raises(ValueError, match="mesh"):
+        make_device_evaluator(model, target_size=(56, 56), batch_size=4,
+                              refill_api=True, mesh=make_mesh())

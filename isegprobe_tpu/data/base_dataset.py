@@ -18,11 +18,21 @@ from __future__ import annotations
 
 import pickle
 import random
+import threading
 from typing import Dict, Optional
 
 import numpy as np
 
 from isegprobe_tpu.data.sample import DSample
+
+# MultiPointSampler keeps its click plan in instance state (_plan/_target),
+# and one sampler instance is shared by every worker THREAD of the default
+# DataLoader (process workers each get their own pickled copy). Serialize the
+# sample_object -> sample_points -> selected_mask critical section or two
+# threads interleave and pair one image with another sample's clicks/mask.
+# Module-level (not an attribute) so dataset instances stay picklable for the
+# process-mode loader's initargs.
+_SAMPLER_LOCK = threading.Lock()
 
 
 class _WeightedIndex:
@@ -98,13 +108,17 @@ class iSegBaseDataset:
         sample = self.augment_sample(sample)
         sample.remove_small_objects(self.min_object_area)
 
-        self.points_sampler.sample_object(sample)
-        n_max = self.points_sampler.max_num_points * 2
-        points = (
-            np.array(self.points_sampler.sample_points(), dtype=np.float32)
-            if self.sample_points
-            else np.empty([n_max, 3], dtype=np.float32)
-        )
+        with _SAMPLER_LOCK:
+            self.points_sampler.sample_object(sample)
+            n_max = self.points_sampler.max_num_points * 2
+            points = (
+                np.array(self.points_sampler.sample_points(), dtype=np.float32)
+                if self.sample_points
+                # -1 sentinel padding, same convention as real click rows
+                # (np.empty here would leak uninitialized floats as clicks)
+                else np.full([n_max, 3], -1.0, dtype=np.float32)
+            )
+            mask = np.moveaxis(self.points_sampler.selected_mask, 0, -1)
 
         # keep uint8 images as uint8: the train step normalizes on device, and
         # the host->device batch upload shrinks 4x (it dominates step wall
@@ -114,7 +128,6 @@ class iSegBaseDataset:
         else:
             image = np.ascontiguousarray(sample.image, dtype=np.float32)
 
-        mask = np.moveaxis(self.points_sampler.selected_mask, 0, -1)
         mask_i8 = mask.astype(np.int8)
         # binary/ignore masks ride as int8 (4x smaller); soft masks stay f32
         instances = (mask_i8 if np.array_equal(mask, mask_i8)

@@ -116,25 +116,37 @@ class _UniformRegion:
 
 
 class _MixtureRegion:
-    """Each click first picks a member mask by weight, then a uniform pixel."""
+    """Each click first picks a member mask by weight, then a uniform pixel.
 
-    __slots__ = ("parts",)
+    Members are stored as MASKS; the argwhere coordinate list of a member is
+    built lazily the first time it is drawn from. The background mixture's
+    three full-frame strategy masks would otherwise cost O(H·W) scans each on
+    every item, while the negative-count pmf draws zero background clicks a
+    meaningful fraction of the time."""
+
+    __slots__ = ("parts", "_pools")
 
     def __init__(self, parts: Sequence[Tuple[np.ndarray, float]]):
-        self.parts = [(np.argwhere(m), w) for m, w in parts]
+        self.parts = list(parts)
         total = sum(w for _, w in self.parts)
         assert math.isclose(total, 1.0), f"mixture weights sum to {total}"
+        self._pools: List[Optional[np.ndarray]] = [None] * len(self.parts)
 
     def rescaled(self, factor: float) -> List[Tuple[np.ndarray, float]]:
-        """Member (coords, weight*factor) pairs, for folding into a union."""
-        return [(c, w * factor) for c, w in self.parts]
+        """Member (mask, weight*factor) pairs, for folding into a union."""
+        return [(m, w * factor) for m, w in self.parts]
+
+    def _pool(self, i: int) -> np.ndarray:
+        if self._pools[i] is None:
+            self._pools[i] = np.argwhere(self.parts[i][0])
+        return self._pools[i]
 
     def draw(self, count: int, centred_first: bool = False) -> List[Point]:
         del centred_first  # mixtures never host the centred first click
         weights = [w for _, w in self.parts]
         out: List[Point] = []
         for _ in range(count):
-            pool, _ = self.parts[np.random.choice(len(self.parts), p=weights)]
+            pool = self._pool(np.random.choice(len(self.parts), p=weights))
             if len(pool):
                 y, x = pool[np.random.randint(len(pool))][:2]
                 out.append((int(y), int(x), _LABEL_FREE))
@@ -148,13 +160,14 @@ def _union_mixture(regions: Sequence[_Region]) -> _MixtureRegion:
     """Equal-weight union of a region list (mixtures keep internal weights)."""
     parts: List[Tuple[np.ndarray, float]] = []
     share = 1.0 / len(regions)
-    mix = _MixtureRegion.__new__(_MixtureRegion)
     for r in regions:
         if isinstance(r, _MixtureRegion):
             parts.extend(r.rescaled(share))
         else:
-            parts.append((np.argwhere(r.mask), share))
+            parts.append((r.mask, share))
+    mix = _MixtureRegion.__new__(_MixtureRegion)
     mix.parts = parts
+    mix._pools = [None] * len(parts)
     return mix
 
 

@@ -168,3 +168,7 @@ class AdaptiveIoU(TrainMetric):
     @property
     def iou_thresh(self) -> float:
         return self._iou_thresh
+
+    @property
+    def thresh_step(self) -> float:
+        return self._thresh_step

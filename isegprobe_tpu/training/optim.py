@@ -19,14 +19,6 @@ import optax
 TRAINABLE_PREFIXES_DEFAULT = ("embed_coords", "head", "neck")
 
 
-def trainable_mask(params: Dict, trainable_prefixes: Sequence[str]) -> Dict:
-    """Pytree of bools: True where the top-level module is trainable."""
-    return {
-        top: jax.tree.map(lambda _: top in trainable_prefixes, sub)
-        for top, sub in params.items()
-    }
-
-
 def make_optimizer(
     opt_name: str,
     lr_schedule,

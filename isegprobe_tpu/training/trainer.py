@@ -63,6 +63,23 @@ def split_params(params: Dict, frozen_prefixes=FROZEN_PREFIXES):
     return trainable, frozen
 
 
+def _count_vit_blocks(backbone_params) -> int:
+    """Number of `blocks_N` transformer layers in a backbone param tree
+    (0 if the backbone is absent/frozen) — feeds layer-wise LR decay."""
+    if not backbone_params:
+        return 0
+    import re
+
+    depth = 0
+    for path, _ in jax.tree_util.tree_flatten_with_path(backbone_params)[0]:
+        for p in path:
+            key = getattr(p, "key", p)
+            m = re.match(r"blocks_(\d+)$", str(key))
+            if m:
+                depth = max(depth, int(m.group(1)) + 1)
+    return depth
+
+
 def get_next_points_device(
     prob: jnp.ndarray,
     gt: jnp.ndarray,
@@ -156,7 +173,6 @@ class iSegTrainer:
         self.model = model
         self.cfg = cfg
         self.loss_cfg = loss_cfg
-        self.val_loss_cfg = deepcopy(loss_cfg)
         self.max_interactive_points = max_interactive_points
         self.max_num_next_clicks = max_num_next_clicks
         self.prev_mask_drop_prob = prev_mask_drop_prob
@@ -200,13 +216,9 @@ class iSegTrainer:
         else:
             self.lr_schedule = self.base_lr
         self.layerwise_decay = layerwise_decay
-
-        self.tx = make_optimizer(
-            optimizer, self.lr_schedule,
-            trainable_prefixes=("embed_coords", "head", "neck"),
-            **{k: v for k, v in optimizer_params.items()
-               if k in ("betas", "eps", "momentum", "weight_decay")},
-        )
+        self._opt_kwargs = {k: v for k, v in optimizer_params.items()
+                            if k in ("betas", "eps", "momentum", "weight_decay")}
+        self._opt_name = optimizer
 
         # -- init params ------------------------------------------------
         init_rng = jax.random.PRNGKey(self.seed)
@@ -233,6 +245,33 @@ class iSegTrainer:
         )
 
         trainable, frozen = split_params(params)
+        # the optimizer is built AFTER params exist so layer-wise LR decay
+        # (reference: optimizer.py:38-56, lr_decay.py:15-87) can key its scale
+        # tree on the actual parameter paths. With the default frozen
+        # backbone the trainable tree has no 'backbone' top and the decay is
+        # an honest no-op (warned), matching the probing setup.
+        if layerwise_decay:
+            from isegprobe_tpu.training.optim import (
+                make_layerwise_decay_optimizer,
+            )
+
+            depth = _count_vit_blocks(trainable.get("backbone"))
+            if depth == 0:
+                logger.warning(
+                    "layerwise_decay=True but the backbone is frozen (not in "
+                    "the trainable tree) — layer-wise LR decay is a no-op")
+            self.tx = make_layerwise_decay_optimizer(
+                self._opt_name, self.lr_schedule, trainable,
+                num_layers=max(depth, 1),
+                trainable_prefixes=tuple(trainable.keys()),
+                **self._opt_kwargs,
+            )
+        else:
+            self.tx = make_optimizer(
+                self._opt_name, self.lr_schedule,
+                trainable_prefixes=("embed_coords", "head", "neck"),
+                **self._opt_kwargs,
+            )
         self.params = replicate({"trainable": trainable, "frozen": frozen},
                                 self.mesh)
         self.opt_state = replicate(self.tx.init(trainable), self.mesh)
@@ -254,12 +293,16 @@ class iSegTrainer:
                      # only in training.n_devices alias in the name+shape
                      # keyed remote executable cache (docs/PERF.md)
                      repr((self.mesh.axis_names, self.mesh.devices.shape)))
+        # train/val are distinct traced programs with identical input shapes
+        # (val_batch_size defaults to batch_size) — salt the distinction or
+        # the name+shape-keyed remote executable cache could serve the TRAIN
+        # binary (optimizer update + donated buffers) to the val caller
         self._train_step = jax.jit(
-            stamped(partial(self._step, training=True), step_salt),
+            stamped(partial(self._step, training=True), step_salt + ("train",)),
             donate_argnums=(0, 1),
         )
         self._val_step = jax.jit(
-            stamped(partial(self._step, training=False), step_salt))
+            stamped(partial(self._step, training=False), step_salt + ("val",)))
 
         self.is_master = process_is_master()
         self.epoch_losses: List[float] = []
@@ -481,12 +524,16 @@ class iSegTrainer:
             self.rng, step_rng = jax.random.split(self.rng)
             batch = self._prep_batch(batch_data)
 
+            # the device triplet must be measured at the metric's own
+            # (t-step, t, t+step) offsets or _absorb adapts on wrong evidence
             thr = (self.train_metrics[0].iou_thresh
                    if self.train_metrics else 0.4)
+            step = (getattr(self.train_metrics[0], "thresh_step", 0.025)
+                    if self.train_metrics else 0.025)
             (self.params, self.opt_state, loss, logging_out, iou_stats,
              vis_payload) = (
                 self._train_step(self.params, self.opt_state, batch, step_rng,
-                                 num_iters, thr,
+                                 num_iters, thr, step,
                                  click_trees=self._click_trees)
             )
 
@@ -513,12 +560,14 @@ class iSegTrainer:
         """Drain one in-flight step: ONE bundled device transfer, then
         logging, metric update, and the periodic image dump."""
         loss_val, logging_host, iou_host = jax.device_get(handles)
+        # cross-process mean for logging (ref: distributed.py:31-53); identity
+        # in a single-process world. Every rank must join the collective —
+        # gating it on self.sw (master-only) would deadlock the master's
+        # process_allgather at the first logged step of a multi-process run.
+        logged = reduce_loss_dict(
+            {k: float(v) for k, v in logging_host.items()}
+        )
         if self.sw is not None:
-            # cross-process mean for logging (ref: distributed.py:31-53);
-            # identity in a single-process world
-            logged = reduce_loss_dict(
-                {k: float(v) for k, v in logging_host.items()}
-            )
             for k, v in logged.items():
                 self.sw.add_scalar(f"Losses/{k}", float(v), global_step)
             self.sw.add_scalar(
@@ -547,9 +596,11 @@ class iSegTrainer:
             batch = self._prep_batch(batch_data)
             num_iters = pyrandom.randint(0, self.max_num_next_clicks)
             thr = self.val_metrics[0].iou_thresh if self.val_metrics else 0.4
+            step = (getattr(self.val_metrics[0], "thresh_step", 0.025)
+                    if self.val_metrics else 0.025)
             _, _, loss, _, iou_stats, _ = self._val_step(
                 self.params, self.opt_state, batch, step_rng, num_iters, thr,
-                click_trees=self._click_trees,
+                step, click_trees=self._click_trees,
             )
             loss_val, iou_host = jax.device_get((loss, iou_stats))
             val_loss += float(loss_val)

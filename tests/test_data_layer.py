@@ -116,6 +116,45 @@ def test_dataset_and_loader_roundtrip():
     assert batches[0]["images"].shape == (4, 64, 72, 3)
 
 
+def test_threaded_getitem_click_mask_consistency():
+    """One MultiPointSampler is shared across the thread-mode loader's
+    workers; the locked critical section in __getitem__ must keep each item's
+    clicks paired with its own image/mask (a race pairs one sample's image
+    with another's plan). Scenes differ per index so a cross-pairing puts
+    positive clicks off the item's own object."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    class _DS(iSegBaseDataset):
+        def __init__(self, **kw):
+            super().__init__(**kw)
+            self.dataset_samples = list(range(32))
+
+        def get_sample(self, index):
+            hw = (64, 72)
+            img = np.full((*hw, 3), index, dtype=np.uint8)
+            mask = np.zeros(hw, dtype=np.int32)
+            # per-index object location: 8 distinct disjoint rectangles
+            r, c = divmod(index % 8, 4)
+            mask[4 + 28 * r : 24 + 28 * r, 2 + 18 * c : 14 + 18 * c] = 1
+            return DSample(img, mask, objects_ids=[1], sample_id=index)
+
+    ds = _DS(points_sampler=MultiPointSampler(max_num_points=6))
+
+    def check(i):
+        item = ds[i]
+        inst = item["instances"][..., 0]
+        for y, x, idx in item["points"][:6]:
+            if idx < 0:
+                continue
+            assert inst[int(y), int(x)] > 0, (
+                f"item {i}: positive click ({y},{x}) off its own object")
+        return True
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for _ in range(4):
+            assert all(pool.map(check, range(32)))
+
+
 class _IndexDS:
     """Top-level so process workers can unpickle it."""
 

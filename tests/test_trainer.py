@@ -291,3 +291,58 @@ def test_training_dtype_knob_maps_to_model_dtype(tmp_path):
     with _pytest.raises(ValueError):
         init_model_from_modules_cfg(
             modules_cfg, _Cfg(training_params=_Cfg(dtype="float16")))
+
+
+def test_layerwise_decay_optimizer_scales_backbone_updates():
+    """make_layerwise_decay_optimizer applies layer_decay^(D+1-layer) to
+    backbone blocks and leaves non-backbone params unscaled (reference:
+    core/training/optimizer.py:38-56, core/utils/lr_decay.py:15-87)."""
+    import optax
+
+    from isegprobe_tpu.training.optim import make_layerwise_decay_optimizer
+
+    params = {
+        "backbone": {
+            "patch_embed": {"w": jnp.ones((2,))},
+            "blocks_0": {"w": jnp.ones((2,))},
+            "blocks_1": {"w": jnp.ones((2,))},
+        },
+        "head": {"w": jnp.ones((2,))},
+    }
+    tx = make_layerwise_decay_optimizer(
+        "sgd", 1.0, params, num_layers=2, layer_decay=0.5,
+        trainable_prefixes=("backbone", "head"), momentum=0.0,
+    )
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+
+    head = float(updates["head"]["w"][0])
+    pe = float(updates["backbone"]["patch_embed"]["w"][0])
+    b0 = float(updates["backbone"]["blocks_0"]["w"][0])
+    b1 = float(updates["backbone"]["blocks_1"]["w"][0])
+    # scales: layer ids pe=0, blocks_0=1, blocks_1=2; decay^(3-id)
+    assert abs(pe / head - 0.5**3) < 1e-6
+    assert abs(b0 / head - 0.5**2) < 1e-6
+    assert abs(b1 / head - 0.5**1) < 1e-6
+
+
+def test_trainer_layerwise_decay_flag_wires_and_noops_when_frozen(
+        model, tmp_path):
+    """layerwise_decay=True must construct (not silently ignore) the decay
+    optimizer; with the default frozen backbone it is an honest no-op."""
+    trainer = iSegTrainer(
+        model,
+        _cfg(tmp_path),
+        loss_cfg={"instance_loss": NormalizedFocalLossSigmoid(alpha=0.5,
+                                                              gamma=2),
+                  "instance_loss_weight": 1.0},
+        trainset=TinyDataset(),
+        valset=TinyDataset(n=8),
+        optimizer="adam",
+        optimizer_params={"lr": 1e-3},
+        layerwise_decay=True,
+        seed=3,
+    )
+    # one step runs through the chained optimizer without error
+    trainer.run(num_epochs=1, validation=False)

@@ -47,6 +47,12 @@ class DINOFeaturizer(nn.Module):
     def setup(self):
         import dataclasses
 
+        from isegprobe_tpu.models.featurizers.dinov2 import INJECTION_MODES
+
+        if self.feats_injection_mode not in INJECTION_MODES:
+            # a typo'd mode would otherwise silently drop all click features
+            raise ValueError(
+                f"Unknown injection mode: {self.feats_injection_mode}")
         overrides = dict(patch_size=self.patch_size, dtype=self.dtype,
                          attn_impl=self.attn_impl,
                          remat_blocks=self.remat_blocks, quant=self.quant)

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from isegprobe_tpu.models.vit import mm_precision
 from isegprobe_tpu.ops.attention import mha
 from isegprobe_tpu.ops.resize import resize
 
@@ -41,6 +42,7 @@ class _CLIPAttention(nn.Module):
     attn_impl: str = "auto"
     causal: bool = False
     quant: Any = None  # 'int8': W8A8 dense layers (ops/quant.py)
+    dtype: Any = jnp.float32  # compute dtype (params stay f32)
 
     def setup(self):
         d = self.width
@@ -54,7 +56,9 @@ class _CLIPAttention(nn.Module):
 
             self.out_proj = QuantDense(d, name="out_proj")
         else:
-            self.out_proj = nn.Dense(d, name="out_proj")
+            self.out_proj = nn.Dense(d, dtype=self.dtype,
+                                     precision=mm_precision(self.dtype),
+                                     name="out_proj")
 
     def _qkv(self, x: jnp.ndarray) -> jnp.ndarray:
         """x @ in_proj.T + bias — the packed torch MultiheadAttention stem;
@@ -64,8 +68,11 @@ class _CLIPAttention(nn.Module):
             from isegprobe_tpu.ops.quant import int8_dynamic_matmul
 
             return (int8_dynamic_matmul(x, self.in_proj_weight.T)
-                    .astype(x.dtype) + self.in_proj_bias)
-        return x @ self.in_proj_weight.T + self.in_proj_bias
+                    .astype(x.dtype) + self.in_proj_bias.astype(x.dtype))
+        w = self.in_proj_weight.astype(self.dtype)
+        return (jnp.matmul(x.astype(self.dtype), w.T,
+                           precision=mm_precision(self.dtype))
+                + self.in_proj_bias.astype(self.dtype))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.width
@@ -99,7 +106,10 @@ class _CLIPAttention(nn.Module):
     def value_path(self, x: jnp.ndarray) -> jnp.ndarray:
         """out_proj(v_proj(x)) — the MaskCLIP dense trick (model.py:251-264)."""
         d = self.width
-        v = x @ self.in_proj_weight[2 * d :].T + self.in_proj_bias[2 * d :]
+        w = self.in_proj_weight[2 * d :].astype(self.dtype)
+        v = (jnp.matmul(x.astype(self.dtype), w.T,
+                        precision=mm_precision(self.dtype))
+             + self.in_proj_bias[2 * d :].astype(self.dtype))
         return self.out_proj(v)
 
 
@@ -109,20 +119,25 @@ class _CLIPBlock(nn.Module):
     attn_impl: str = "auto"
     causal: bool = False
     quant: Any = None
+    dtype: Any = jnp.float32  # compute dtype; LN stats stay f32 (flax default)
 
     def setup(self):
-        self.ln_1 = nn.LayerNorm(epsilon=1e-5, name="ln_1")
+        self.ln_1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")
         self.attn = _CLIPAttention(self.width, self.heads, self.attn_impl,
-                                   self.causal, self.quant, name="attn")
-        self.ln_2 = nn.LayerNorm(epsilon=1e-5, name="ln_2")
+                                   self.causal, self.quant, self.dtype,
+                                   name="attn")
+        self.ln_2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")
         if self.quant == "int8":
             from isegprobe_tpu.ops.quant import QuantDense
 
             self.c_fc = QuantDense(self.width * 4, name="c_fc")
             self.c_proj = QuantDense(self.width, name="c_proj")
         else:
-            self.c_fc = nn.Dense(self.width * 4, name="c_fc")
-            self.c_proj = nn.Dense(self.width, name="c_proj")
+            prec = mm_precision(self.dtype)
+            self.c_fc = nn.Dense(self.width * 4, dtype=self.dtype,
+                                 precision=prec, name="c_fc")
+            self.c_proj = nn.Dense(self.width, dtype=self.dtype,
+                                   precision=prec, name="c_proj")
 
     def _mlp(self, x):
         h = self.c_fc(x)
@@ -161,13 +176,15 @@ class CLIPVisionTransformer(nn.Module):
             "positional_embedding", nn.initializers.normal(w**-0.5),
             (self.pretrain_grid**2 + 1, w),
         )
-        self.ln_pre = nn.LayerNorm(epsilon=1e-5, name="ln_pre")
+        self.ln_pre = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                   name="ln_pre")
         self.resblocks = [
             _CLIPBlock(w, self.heads, self.attn_impl, quant=self.quant,
-                       name=f"resblocks_{i}")
+                       dtype=self.dtype, name=f"resblocks_{i}")
             for i in range(self.layers)
         ]
-        self.ln_post = nn.LayerNorm(epsilon=1e-5, name="ln_post")
+        self.ln_post = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                    name="ln_post")
         self.proj = self.param(
             "proj", nn.initializers.normal(w**-0.5), (w, self.output_dim)
         )
@@ -209,7 +226,8 @@ class CLIPVisionTransformer(nn.Module):
         x = self.resblocks[-1].forward_v(x)
         x = x[:, 1:]  # drop cls
         x = self.ln_post(x)
-        return x @ self.proj.astype(x.dtype)
+        return jnp.matmul(x, self.proj.astype(x.dtype),
+                          precision=mm_precision(x.dtype))
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h, w = x.shape[1], x.shape[2]
@@ -236,6 +254,12 @@ class MaskCLIPFeaturizer(nn.Module):
             raise ValueError(
                 f"Currently unsupported model_name for MaskCLIP: {self.model_name}"
             )
+        from isegprobe_tpu.models.featurizers.dinov2 import INJECTION_MODES
+
+        if self.feats_injection_mode not in INJECTION_MODES:
+            # a typo'd mode would otherwise silently drop all click features
+            raise ValueError(
+                f"Unknown injection mode: {self.feats_injection_mode}")
         arch = dict(CLIP_ARCHS[self.model_name])
         self.model = CLIPVisionTransformer(
             **arch, dtype=self.dtype, attn_impl=self.attn_impl,
@@ -287,7 +311,8 @@ class CLIPTextEncoder(nn.Module):
             "positional_embedding", nn.initializers.normal(0.01),
             (self.context_length, w))
         self.resblocks = [
-            _CLIPBlock(w, self.heads, "jnp", True, name=f"resblocks_{i}")
+            _CLIPBlock(w, self.heads, "jnp", True, dtype=self.dtype,
+                       name=f"resblocks_{i}")
             for i in range(self.layers)
         ]
         self.ln_final = nn.LayerNorm(epsilon=1e-5, name="ln_final")

@@ -330,6 +330,11 @@ class iSegProbeModel(nn.Module):
         """Feature-probe path (reference: iseg_probe_model.py:136-174)."""
         image, prev_mask = self.prepare_input(image)
         coord_features = self.get_coord_features(image, prev_mask, points)
+        # same pre-embed transform as backbone_forward — skipping it under
+        # use_rgb_conv would feed embed_coords raw 2/3-channel maps where the
+        # params expect the 64-channel RITM transform output
+        if self.maps_transform is not None:
+            coord_features = self.maps_transform(coord_features)
         coord_tokens = self.embed_coords(coord_features)
         lr_feats = self.backbone(image, coord_tokens)
         hr_feats = self.upsampler(lr_feats, image)

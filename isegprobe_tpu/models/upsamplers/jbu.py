@@ -25,6 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from isegprobe_tpu.models.vit import mm_precision
 from isegprobe_tpu.ops.pool import adaptive_pool
 from isegprobe_tpu.ops.resize import resize
 
@@ -39,19 +40,27 @@ class JBULearnedRange(nn.Module):
     key_dim: int = 32
     radius: int = 3
     impl: str = "auto"
+    # compute dtype (params stay f32); the Pallas filter accumulates in f32
+    # internally regardless and returns the input dtype
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
         # the filter ops are specialized to FeatUp's 7x7 window
         assert self.radius == 3, "JBU filtering is built for radius 3"
         _, gh, gw, _ = guidance.shape
+        source = source.astype(self.dtype)
+        guidance = guidance.astype(self.dtype)
 
         range_temp = self.param("range_temp", nn.initializers.zeros, ())
         sigma_spatial = self.param("sigma_spatial", nn.initializers.ones, ())
 
-        proj = nn.Conv(self.key_dim, (1, 1), name="range_proj1")(guidance)
+        prec = mm_precision(self.dtype)
+        proj = nn.Conv(self.key_dim, (1, 1), dtype=self.dtype, precision=prec,
+                       name="range_proj1")(guidance)
         proj = jax.nn.gelu(proj, approximate=False)
-        proj = nn.Conv(self.key_dim, (1, 1), name="range_proj2")(proj)
+        proj = nn.Conv(self.key_dim, (1, 1), dtype=self.dtype, precision=prec,
+                       name="range_proj2")(proj)
 
         hr = resize(source, (gh, gw), "bicubic", align_corners=False)
 
@@ -96,10 +105,14 @@ class JBUFeatUpUpsampler(nn.Module):
     @nn.compact
     def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
         feat_dim = source.shape[-1]
+        source = source.astype(self.dtype)
+        guidance = guidance.astype(self.dtype)
         for i in range(1, 5):
             h, w = source.shape[1], source.shape[2]
             g = adaptive_pool(guidance, (2 * h, 2 * w), "avg")
             source = JBULearnedRange(self.key_dim, self.radius, self.impl,
-                                     name=f"up{i}")(source, g)
-        fix = nn.Conv(feat_dim, (1, 1), name="fixup_proj")(source)
+                                     dtype=self.dtype, name=f"up{i}")(source, g)
+        fix = nn.Conv(feat_dim, (1, 1), dtype=self.dtype,
+                      precision=mm_precision(self.dtype),
+                      name="fixup_proj")(source)
         return fix * 0.1 + source

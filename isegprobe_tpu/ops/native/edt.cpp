@@ -119,7 +119,8 @@ void click_dist_maps(const float* points, int n_points, int h, int w,
   for (int p = 0; p < n_points; ++p) {
     const float py = points[p * 3 + 0];
     const float px = points[p * 3 + 1];
-    if (py < 0.0f && px < 0.0f) continue;
+    // invalid click iff max(y, x) < 0 — the single convention shared with
+    // dist_maps.py and the numpy fallback
     if (std::max(py, px) < 0.0f) continue;
     const int li = (p >= n_points / 2) ? 1 : 0;
     // The reference BFS rounds click coordinates to the grid

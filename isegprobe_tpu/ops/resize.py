@@ -66,8 +66,14 @@ def _resize_matrix_cached(
     rows = np.arange(out_size)
 
     if mode == "nearest":
-        # torch legacy 'nearest': src index = floor(i * in/out)
-        idx = np.minimum((rows * (in_size / out_size)).astype(np.int64), in_size - 1)
+        # torch legacy 'nearest': src = floorf(i * scale) computed in FLOAT32
+        # (ATen nearest_neighbor_compute_source_index) — float64 arithmetic
+        # diverges on exact-boundary rows (e.g. in=2,out=98 maps row 49 to 0
+        # instead of torch's 1), so emulate the f32 rounding bit-for-bit
+        scale32 = np.float32(in_size) / np.float32(out_size)
+        idx = np.minimum(
+            np.floor(rows.astype(np.float32) * scale32).astype(np.int64),
+            in_size - 1)
         m[rows, idx] = 1.0
         return m.astype(np.float32)
 

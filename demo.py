@@ -23,17 +23,22 @@ def main() -> None:
     model, params = load_model_for_eval(eval_cfg.checkpoint, eval_cfg)
     default_zoomin = get_zoomin_params(eval_cfg, "demo")
 
+    _UNSET = object()
+
     def predictor_builder(brs_mode="NoBRS", prob_thresh=0.5,
-                          zoomin_params=None, predictor_params=None,
+                          zoomin_params=_UNSET, predictor_params=None,
                           lbfgs_max_iters=20):
+        # zoomin_params=None is the GUI's "Use ZoomIn" checkbox OFF (full
+        # frame, no adaptive ROI) — only an *omitted* argument falls back to
+        # the eval-config default
         return get_predictor(
             model,
             params,
             brs_mode=brs_mode,
             prob_thresh=prob_thresh,
             with_flip=True,
-            zoom_in_params=(zoomin_params if zoomin_params is not None
-                            else default_zoomin),
+            zoom_in_params=(default_zoomin if zoomin_params is _UNSET
+                            else zoomin_params),
             predictor_params=predictor_params,
             lbfgs_params={"maxfun": lbfgs_max_iters},
         )

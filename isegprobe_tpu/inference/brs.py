@@ -13,6 +13,7 @@ loop (reference uses the same split, brs_predictors.py:162).
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -101,24 +102,32 @@ class BaseOptimizer:
         self.loss_fn = loss_fn
         self.best_prediction = None
         self._value_and_grad = None
+        self._vg_key = None  # logits_fn the cached value-and-grad was built on
         self._opt_shape = None
         self._best_loss = None
-        self._click_masks = None
+        self._click_args = None
         self._last_mask = None
 
-    def init_click(self, get_prediction_logits: Callable, pos_mask, neg_mask,
-                   shape=None) -> None:
+    def init_click(self, logits_fn: Callable, pos_mask, neg_mask,
+                   shape=None, aux=()) -> None:
+        """``logits_fn(aux, *opt_vars)`` must be a STABLE callable (same
+        object every click) — everything that varies per click rides in
+        ``aux``/the masks, so the jitted value-and-grad is traced ONCE per
+        predictor instead of recompiling the full backbone graph every click.
+        """
         self.best_prediction = None
-        self._click_masks = (jnp.asarray(pos_mask), jnp.asarray(neg_mask))
+        self._click_args = (aux, jnp.asarray(pos_mask), jnp.asarray(neg_mask))
         self._opt_shape = shape
         self._last_mask = None
         self._best_loss = None
 
-        def objective(x):
+        if self.loss_fn is None and self._vg_key is logits_fn:
+            return  # cached value-and-grad still valid
+
+        def objective(x, aux, pos_mask_j, neg_mask_j):
             opt_vars, reg_loss = self.unpack_opt_params(x)
-            logits = get_prediction_logits(*opt_vars)
+            logits = logits_fn(aux, *opt_vars)
             result = jax.nn.sigmoid(logits)
-            pos_mask_j, neg_mask_j = self._click_masks
             if self.with_flip and self.flip_average:
                 half = result.shape[0] // 2
                 result = 0.5 * (result[:half] + result[half:, :, ::-1])
@@ -130,10 +139,14 @@ class BaseOptimizer:
             return loss + reg_loss, (logits, result, f_max_pos, f_max_neg)
 
         self._value_and_grad = jax.jit(jax.value_and_grad(objective, has_aux=True))
+        # OracleMaskLoss reads host state (gt crop, current ROI) at trace
+        # time, so its objective must retrace every click — never cache it
+        self._vg_key = logits_fn if self.loss_fn is None else None
 
     def __call__(self, x: np.ndarray):
         (loss, (logits, result, f_max_pos, f_max_neg)), grad = (
-            self._value_and_grad(jnp.asarray(x, dtype=jnp.float32))
+            self._value_and_grad(jnp.asarray(x, dtype=jnp.float32),
+                                 *self._click_args)
         )
         f_val = float(loss)
         if self.best_prediction is None or f_val < self._best_loss:
@@ -202,6 +215,14 @@ class _BRSPredictorBase(TPUPredictor):
         self.opt_functor = opt_functor
         self.optimize_after_n_clicks = optimize_after_n_clicks
         self.opt_data = None
+        # ONE stable logits callable per predictor: its identity keys the
+        # optimizer's cached value-and-grad (per-click state rides in aux)
+        self._stable_logits_fn = functools.partial(type(self)._brs_logits,
+                                                   self)
+        self._feats_fn = None
+
+    def _brs_logits(self, aux, *opt_vars):
+        raise NotImplementedError
 
     def set_input_image(self, image) -> None:
         super().set_input_image(image)
@@ -250,6 +271,21 @@ class FeatureBRSPredictor(_BRSPredictorBase):
 
     insertion_mode = "after_backbone"
 
+    def _brs_logits(self, aux, scale, bias):
+        params, feats, image_norm = aux
+        model = self.model
+        oh, ow = self.target_size
+        # dataclass attr (setup-defined upsampler_type is apply-scoped)
+        upsampler_type = (model.upsampler_cfg or {"type": "bilinear"})["type"]
+        f = feats * scale.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
+        up = model.apply({"params": params}, f, image_norm,
+                         method=lambda m, f_, i: m.upsampler(f_, i))
+        if upsampler_type != "identity" and up.shape[1:3] != (oh, ow):
+            up = resize(up, (oh, ow), "bilinear", align_corners=True)
+        logits = model.apply({"params": params}, up,
+                             method=lambda m, u: m.head(u))
+        return resize(logits, (oh, ow), "bilinear", align_corners=True)
+
     def get_prediction(self, clicker, prev_mask=None) -> np.ndarray:
         clicks_list = clicker.get_clicks()
         roi = self._compute_roi(clicks_list)
@@ -274,12 +310,11 @@ class FeatureBRSPredictor(_BRSPredictorBase):
 
         model, params = self.model, self.params
 
-        def head_input(crop, pts):
+        if self._feats_fn is None:
             def fwd(params, crop, pts):
                 image, prev = model.apply({"params": params}, crop,
                                           method=model.prepare_input)
-                coord = model.apply({"params": params}, image, prev,
-                                    jnp.asarray(pts),
+                coord = model.apply({"params": params}, image, prev, pts,
                                     method=model.get_coord_features)
                 tokens = model.apply({"params": params}, coord,
                                      method=lambda m, c: m.embed_coords(c))
@@ -287,28 +322,18 @@ class FeatureBRSPredictor(_BRSPredictorBase):
                                     method=lambda m, i, t: m.backbone(i, t))
                 return feats, image
 
-            return jax.jit(fwd)(params, crop, pts)
+            # jitted ONCE: everything variable flows through the arguments
+            self._feats_fn = jax.jit(fwd)
 
-        feats, image_norm = head_input(crop, pts)
+        feats, image_norm = self._feats_fn(params, crop, jnp.asarray(pts))
         num_channels = feats.shape[-1]
         if self.opt_data is None or self.opt_data.size != 2 * num_channels:
             self.opt_data = np.zeros(2 * num_channels, dtype=np.float32)
 
-        # dataclass attr (setup-defined upsampler_type is apply-scoped)
-        upsampler_type = (model.upsampler_cfg or {"type": "bilinear"})["type"]
-
-        def get_prediction_logits(scale, bias):
-            f = feats * scale.reshape(1, 1, 1, -1) + bias.reshape(1, 1, 1, -1)
-            up = model.apply({"params": params}, f, image_norm,
-                             method=lambda m, f_, i: m.upsampler(f_, i))
-            if upsampler_type != "identity" and up.shape[1:3] != (oh, ow):
-                up = resize(up, (oh, ow), "bilinear", align_corners=True)
-            logits = model.apply({"params": params}, up,
-                                 method=lambda m, u: m.head(u))
-            return resize(logits, (oh, ow), "bilinear", align_corners=True)
-
+        aux = (params, feats, image_norm)
         pos_mask, neg_mask = self._clicks_maps(crop_clicks, (oh, ow))
-        self.opt_functor.init_click(get_prediction_logits, pos_mask, neg_mask)
+        self.opt_functor.init_click(self._stable_logits_fn, pos_mask,
+                                    neg_mask, aux=aux)
 
         if len(clicks_list) > self.optimize_after_n_clicks:
             opt_result = fmin_l_bfgs_b(
@@ -323,7 +348,7 @@ class FeatureBRSPredictor(_BRSPredictorBase):
             opt_vars, _ = self.opt_functor.unpack_opt_params(
                 jnp.asarray(self.opt_data)
             )
-            logits = get_prediction_logits(*opt_vars)
+            logits = self._stable_logits_fn(aux, *opt_vars)
 
         probs448 = jax.nn.sigmoid(logits)
         from isegprobe_tpu.ops.sample import inverse_paste
@@ -345,6 +370,23 @@ class InputBRSPredictor(_BRSPredictorBase):
     def __init__(self, *args, optimize_target: str = "dmaps", **kwargs):
         super().__init__(*args, **kwargs)
         self.optimize_target = optimize_target
+
+    def _brs_logits(self, aux, offset):
+        params, crop, pts = aux
+        model = self.model
+        oh, ow = self.target_size
+        image, prev = model.apply({"params": params}, crop,
+                                  method=model.prepare_input)
+        if self.optimize_target == "rgb":
+            image = image + offset
+        coord = model.apply({"params": params}, image, prev, pts,
+                            method=model.get_coord_features)
+        if self.optimize_target == "dmaps":
+            coord = coord + offset
+        out = model.apply({"params": params}, image, coord,
+                          method=model.backbone_forward)
+        return resize(out["instances"], (oh, ow), "bilinear",
+                      align_corners=True)
 
     def get_prediction(self, clicker, prev_mask=None) -> np.ndarray:
         clicks_list = clicker.get_clicks()
@@ -375,26 +417,10 @@ class InputBRSPredictor(_BRSPredictorBase):
             self.opt_data = np.zeros(int(np.prod(opt_shape)), dtype=np.float32)
         self.opt_functor._opt_shape = opt_shape
 
-        def get_prediction_logits(offset):
-            def fwd(params, crop, pts, offset):
-                image, prev = model.apply({"params": params}, crop,
-                                          method=model.prepare_input)
-                if self.optimize_target == "rgb":
-                    image = image + offset
-                coord = model.apply({"params": params}, image, prev, pts,
-                                    method=model.get_coord_features)
-                if self.optimize_target == "dmaps":
-                    coord = coord + offset
-                out = model.apply({"params": params}, image, coord,
-                                  method=model.backbone_forward)
-                return resize(out["instances"], (oh, ow), "bilinear",
-                              align_corners=True)
-
-            return fwd(params, crop, pts, offset)
-
+        aux = (params, crop, pts)
         pos_mask, neg_mask = self._clicks_maps(crop_clicks, (oh, ow))
-        self.opt_functor.init_click(get_prediction_logits, pos_mask, neg_mask,
-                                    shape=opt_shape)
+        self.opt_functor.init_click(self._stable_logits_fn, pos_mask, neg_mask,
+                                    shape=opt_shape, aux=aux)
 
         if len(clicks_list) > self.optimize_after_n_clicks:
             opt_result = fmin_l_bfgs_b(
@@ -409,7 +435,7 @@ class InputBRSPredictor(_BRSPredictorBase):
             opt_vars, _ = self.opt_functor.unpack_opt_params(
                 jnp.asarray(self.opt_data)
             )
-            logits = get_prediction_logits(*opt_vars)
+            logits = self._stable_logits_fn(aux, *opt_vars)
 
         probs448 = jax.nn.sigmoid(logits)
         hp, wp = self.pad_hw
@@ -450,13 +476,20 @@ def get_predictor(
         predictor_params_.update(predictor_params)
     brs_opt_func_params = brs_opt_func_params or {}
 
-    zoom_kwargs = {}
     if zoom_in_params:
-        zoom_kwargs = {
-            "target_size": zoom_in_params.get("target_size", (448, 448)),
-            "skip_clicks": zoom_in_params.get("skip_clicks", -1),
-            "expansion_ratio": zoom_in_params.get("expansion_ratio", 1.4),
-        }
+        known = {"target_size", "skip_clicks", "expansion_ratio",
+                 "min_crop_size", "recompute_thresh_iou", "prob_thresh"}
+        unknown = set(zoom_in_params) - known
+        if unknown:
+            raise ValueError(f"Unknown zoom_in_params keys: {sorted(unknown)}")
+        zoom_kwargs = dict(zoom_in_params)
+        zoom_kwargs.setdefault("target_size", (448, 448))
+    else:
+        # no ZoomIn: disable the object-adaptive ROI machine (the frame is
+        # still resized to the predictor's fixed target size — the compiled
+        # click step needs static shapes; the reference runs native-res
+        # instead, a documented delta in docs/PARITY.md)
+        zoom_kwargs = {"skip_clicks": 10**9}
 
     if brs_mode == "NoBRS":
         predictor_params_.pop("optimize_after_n_clicks", None)

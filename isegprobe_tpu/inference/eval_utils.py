@@ -26,18 +26,28 @@ def get_prediction_vis_callback(logs_path, dataset_name: str,
     save_path.mkdir(parents=True, exist_ok=True)
     iou_save_path.mkdir(parents=True, exist_ok=True)
 
+    # evaluate_dataset passes the IMAGE index as sample_id for every object
+    # of a multi-object sample (reference parity, evaluation.py:22-40) — the
+    # reference callback overwrites earlier objects' files; here objects
+    # after the first get an `_objN` filename suffix instead
+    obj_counts: dict = {}
+
     def callback(image, gt_mask, pred_probs, sample_id, click_indx, clicks_list):
+        if click_indx == 0:
+            obj_counts[sample_id] = obj_counts.get(sample_id, -1) + 1
+        n = obj_counts.get(sample_id, 0)
+        tag = f"{sample_id}" if n == 0 else f"{sample_id}_obj{n}"
         pred_mask = pred_probs > prob_thresh
         image_with_mask = draw_with_blend_and_clicks(
             image, pred_mask, alpha=0.5, clicks_list=clicks_list
         )
         iou = get_iou(gt_mask, pred_mask) * 100
-        with open(iou_save_path / f"{sample_id}_{click_indx}.json", "w") as f:
+        with open(iou_save_path / f"{tag}_{click_indx}.json", "w") as f:
             json.dump({"iou": float(iou)}, f)
-        cv2.imwrite(str(save_path / f"{sample_id}_{click_indx}.jpg"),
+        cv2.imwrite(str(save_path / f"{tag}_{click_indx}.jpg"),
                     image_with_mask[:, :, ::-1])
         if click_indx == 0:
-            cv2.imwrite(str(save_path / f"{sample_id}_gt.jpg"),
+            cv2.imwrite(str(save_path / f"{tag}_gt.jpg"),
                         gt_mask.astype(np.uint8) * 255)
 
     return callback

@@ -156,32 +156,10 @@ class TPUPredictor:
     def _click_step_fn(self, model, params, image_pad, prev_pad, roi, points):
         """image_pad [1,Hp,Wp,3] f32 in [0,1]; prev_pad [1,Hp,Wp,1];
         roi int32 [4]; points [1, 2N, 3] full-frame coords."""
-        oh, ow = self.target_size
-
-        inp = image_pad
-        if self.with_prev_mask:
-            inp = jnp.concatenate([image_pad, prev_pad], axis=-1)
-        crop = crop_resize(inp, roi, (oh, ow))  # [1, oh, ow, C]
-
-        # remap clicks into crop coordinates (reference: zoom_in.py:181-193)
-        rmin, rmax, cmin, cmax = [roi[i].astype(jnp.float32) for i in range(4)]
-        rh = rmax - rmin + 1.0
-        rw = cmax - cmin + 1.0
-        yxi = points.astype(jnp.float32)
-        valid = jnp.max(yxi[..., :2], axis=-1) >= 0
-        new_y = oh * (yxi[..., 0] - rmin) / rh
-        new_x = ow * (yxi[..., 1] - cmin) / rw
-        pts = jnp.stack([new_y, new_x, yxi[..., 2]], axis=-1)
-        pts = jnp.where(valid[..., None], pts, -1.0)
-
+        crop, pts, valid = self._crop_and_points(image_pad, prev_pad, roi,
+                                                 points)
         if self.with_flip:
-            # batch-double with a width flip; flipped click x' = W - x - 1
-            # (reference: transforms/flip.py:12-45)
-            crop2 = jnp.concatenate([crop, crop[:, :, ::-1]], axis=0)
-            fx = ow - pts[..., 1] - 1.0
-            pts_f = jnp.stack([pts[..., 0], fx, pts[..., 2]], axis=-1)
-            pts_f = jnp.where(valid[..., None], pts_f, -1.0)
-            pts2 = jnp.concatenate([pts, pts_f], axis=0)
+            crop2, pts2 = self._flip_pair(crop, pts, valid)
             logits = model.apply({"params": params}, crop2, pts2)["instances"]
             logits = 0.5 * (logits[:1] + logits[1:, :, ::-1])
         else:
@@ -191,7 +169,8 @@ class TPUPredictor:
         return inverse_paste(probs, roi, prev_pad)
 
     def _crop_and_points(self, image_pad, prev_pad, roi, points):
-        """Shared crop + click-remap prologue of the click step."""
+        """Shared crop + click-remap prologue of the click step
+        (reference: zoom_in.py:181-193)."""
         oh, ow = self.target_size
         inp = image_pad
         if self.with_prev_mask:
@@ -209,6 +188,17 @@ class TPUPredictor:
         pts = jnp.where(valid[..., None], pts, -1.0)
         return crop, pts, valid
 
+    def _flip_pair(self, crop, pts, valid):
+        """Batch-double with a width flip; flipped click x' = W - x - 1
+        (reference: transforms/flip.py:12-45). THE flip convention shared by
+        the plain and cached-trunk click steps."""
+        ow = self.target_size[1]
+        crop2 = jnp.concatenate([crop, crop[:, :, ::-1]], axis=0)
+        fx = ow - pts[..., 1] - 1.0
+        pts_f = jnp.stack([pts[..., 0], fx, pts[..., 2]], axis=-1)
+        pts_f = jnp.where(valid[..., None], pts_f, -1.0)
+        return crop2, jnp.concatenate([pts, pts_f], axis=0)
+
     def _trunk_step_fn(self, model, params, image_pad, prev_pad, roi):
         """Backbone trunk on the ROI crop (and its flip), click-independent."""
         oh, ow = self.target_size
@@ -223,15 +213,10 @@ class TPUPredictor:
 
     def _cached_click_step_fn(self, model, params, image_pad, prev_pad, roi,
                               points, trunk):
-        oh, ow = self.target_size
         crop, pts, valid = self._crop_and_points(image_pad, prev_pad, roi,
                                                  points)
         if self.with_flip:
-            crop2 = jnp.concatenate([crop, crop[:, :, ::-1]], axis=0)
-            fx = ow - pts[..., 1] - 1.0
-            pts_f = jnp.stack([pts[..., 0], fx, pts[..., 2]], axis=-1)
-            pts_f = jnp.where(valid[..., None], pts_f, -1.0)
-            pts2 = jnp.concatenate([pts, pts_f], axis=0)
+            crop2, pts2 = self._flip_pair(crop, pts, valid)
             logits = model.apply(
                 {"params": params}, crop2, pts2, trunk,
                 method=model.forward_with_cached_trunk,
@@ -336,10 +321,15 @@ class TPUPredictor:
 
         roi_arr = jnp.asarray(np.asarray(roi, dtype=np.int32))
         if self.cache_backbone:
-            if self._trunk_cache is None or self._trunk_cache[0] != self._roi_version:
+            # keyed by (state epoch, ROI VALUE): _compute_roi's skip_clicks
+            # early-exits return the full frame without bumping the version,
+            # so a version-only key would reuse an object-ROI trunk for
+            # full-frame geometry (garbage probabilities)
+            key = (self._roi_version, tuple(int(v) for v in roi))
+            if self._trunk_cache is None or self._trunk_cache[0] != key:
                 trunk = self._trunk_fn(self.params, self.original_image,
                                        prev_dev, roi_arr)
-                self._trunk_cache = (self._roi_version, trunk)
+                self._trunk_cache = (key, trunk)
             probs_pad = self._cached_step(
                 self.params, self.original_image, prev_dev, roi_arr,
                 jnp.asarray(points), self._trunk_cache[1],
@@ -536,7 +526,7 @@ class CropsPredictor:
         self._step = None
         # one compiled program per frame geometry, reused across images
         # (a fixed-size dataset compiles exactly once)
-        self._step_cache: Dict[Tuple[int, int, int, int], object] = {}
+        self._step_cache: Dict[Tuple, object] = {}
 
     def set_input_image(self, image: np.ndarray) -> None:
         from isegprobe_tpu.inference.transforms import get_offsets
@@ -554,7 +544,11 @@ class CropsPredictor:
             y_off = get_offsets(h, ch, self.min_overlap)
             x_off = get_offsets(w, cw, self.min_overlap)
         self._offsets = [(dy, dx) for dy in y_off for dx in x_off]
-        key = (h, w, ch, cw)
+        # the compiled step bakes the offset positions (which depend on
+        # min_overlap, not just the geometry) — key by them too, or a
+        # min_overlap change between images reuses a step whose baked tiles
+        # disagree with the host-side click shifting
+        key = (h, w, ch, cw, tuple(self._offsets))
         if key not in self._step_cache:
             counts = np.zeros((h, w), np.float32)
             for dy, dx in self._offsets:

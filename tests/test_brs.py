@@ -124,3 +124,31 @@ def test_oracle_mask_loss_brs(model_and_params):
     # the oracle objective directly optimizes agreement with GT
     assert ious["oracle"] >= ious["plain"] - 1e-6
     assert len(oracle.history) > 0, "oracle loss never evaluated"
+
+
+@pytest.mark.parametrize("mode", ["f-BRS-B", "DistMap-BRS"])
+def test_brs_value_and_grad_traced_once(model_and_params, mode):
+    """The L-BFGS objective must be jitted ONCE per predictor: per-click state
+    (features, masks, clicks) rides through the jit arguments, so successive
+    clicks reuse the compiled value-and-grad instead of retracing the full
+    backbone graph each click (the reference pays a fresh autograd graph per
+    L-BFGS call, brs_predictors.py:162 — this is where the rebuild wins)."""
+    model, params = model_and_params
+    predictor = get_predictor(
+        model, params, brs_mode=mode, with_flip=False,
+        zoom_in_params={"target_size": (56, 56), "skip_clicks": -1},
+        lbfgs_params={"maxfun": 2},
+    )
+    img = _image()
+    predictor.set_input_image(img)
+    clicker = Clicker(gt_mask=np.zeros(img.shape[:2], np.int32))
+    clicker.add_click(Click(is_positive=True, coords=(30, 40)))
+    predictor.get_prediction(clicker)
+    vg_first = predictor.opt_functor._value_and_grad
+    assert predictor.opt_functor._vg_key is predictor._stable_logits_fn
+
+    for coords, pos in (((5, 5), False), ((35, 45), True)):
+        clicker.add_click(Click(is_positive=pos, coords=coords))
+        predictor.get_prediction(clicker)
+        # same jitted callable => same XLA program cache, no retrace
+        assert predictor.opt_functor._value_and_grad is vg_first

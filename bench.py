@@ -169,16 +169,19 @@ def measure_refill_vs_lockstep(batch_size: int = 8, n_samples: int = 24,
                                target_iou: float = 0.90):
     """Real-workload dataset eval (trained checkpoint, varied-difficulty
     scenes, stop at target IoU): useful clicks/s for the lockstep batched
-    loop vs the continuous-batching refill path. The synthetic headline
-    throughput above deliberately runs every lane to 20 clicks (uniform
-    work, no straggler effect); this measures the straggler waste refill
-    exists to remove. Returns (lockstep_cps, refill_cps) or None if the
-    committed trained checkpoint is unavailable."""
+    loop vs the two continuous-batching paths — host-driven lane refill and
+    the on-device job queue (group_api, one dispatch per shape group). The
+    synthetic headline throughput above deliberately runs every lane to 20
+    clicks (uniform work, no straggler effect); this measures the straggler
+    waste continuous batching exists to remove. Returns
+    (lockstep_cps, refill_cps, group_cps) or None if the committed trained
+    checkpoint is unavailable."""
     import jax.numpy as jnp
 
     from isegprobe_tpu.data.datasets.synthetic import SyntheticShapesDataset
     from isegprobe_tpu.inference.device_eval import (
         evaluate_dataset_device,
+        evaluate_dataset_group,
         evaluate_dataset_refill,
         make_device_evaluator,
     )
@@ -201,6 +204,8 @@ def measure_refill_vs_lockstep(batch_size: int = 8, n_samples: int = 24,
     lock = make_device_evaluator(model, batch_size=batch_size, **common)
     refill = make_device_evaluator(model, batch_size=batch_size,
                                    refill_api=True, chunk_clicks=4, **common)
+    group = make_device_evaluator(model, batch_size=batch_size,
+                                  group_api=True, **common)
 
     evaluate_dataset_device(lock, params, ds, batch_size=batch_size)
     t0 = time.perf_counter()
@@ -212,7 +217,12 @@ def measure_refill_vs_lockstep(batch_size: int = 8, n_samples: int = 24,
     t0 = time.perf_counter()
     ious_r = evaluate_dataset_refill(refill, params, ds)
     refill_cps = sum(len(a) for a in ious_r) / (time.perf_counter() - t0)
-    return lock_cps, refill_cps
+
+    evaluate_dataset_group(group, params, ds)
+    t0 = time.perf_counter()
+    ious_g = evaluate_dataset_group(group, params, ds)
+    group_cps = sum(len(a) for a in ious_g) / (time.perf_counter() - t0)
+    return lock_cps, refill_cps, group_cps
 
 
 class _EvalCfg(dict):
@@ -333,13 +343,17 @@ def main():
         "mfu_f32_pct": round(mfu_f32, 2),
         "mfu_bf16_batched_pct": round(mfu_bf16_batched, 2),
         # trained-checkpoint real workload (stop at IoU 0.9): straggler-bound
-        # lockstep vs continuous-batching refill, useful clicks/s
+        # lockstep vs host-refill vs on-device-queue continuous batching
         "trained_lockstep_clicks_per_s": (
             round(refill_pair[0], 1) if refill_pair else None),
         "trained_refill_clicks_per_s": (
             round(refill_pair[1], 1) if refill_pair else None),
+        "trained_group_clicks_per_s": (
+            round(refill_pair[2], 1) if refill_pair else None),
         "refill_speedup": (
             round(refill_pair[1] / refill_pair[0], 2) if refill_pair else None),
+        "group_speedup": (
+            round(refill_pair[2] / refill_pair[0], 2) if refill_pair else None),
     }))
 
 

@@ -312,16 +312,26 @@ def main() -> None:
                 )
 
                 device_batch = int(eval_cfg.get("device_batch", 1))
-                device_refill = bool(eval_cfg.get("device_refill", False))
+                # device_refill: false | true/'device' (on-device job queue,
+                # one dispatch per group) | 'host' (chunked host-driven
+                # lane swaps) — identical results, different throughput
+                refill_raw = eval_cfg.get("device_refill", False)
+                if isinstance(refill_raw, str) and refill_raw.lower() in (
+                        "false", "true", "0", "1"):
+                    refill_raw = refill_raw.lower() in ("true", "1")
+                device_refill = (
+                    "host" if refill_raw == "host"
+                    else "device" if refill_raw in (True, "device")
+                    else False)
                 if device_refill and device_batch <= 1:
                     logger.warning(
-                        "device_refill=true ignored: continuous batching "
+                        "device_refill ignored: continuous batching "
                         f"needs device_batch>1 (got {device_batch})")
                     device_refill = False
                 if device_refill and eval_cfg.get("device_mesh", False):
                     logger.warning(
-                        "device_refill=true ignored with device_mesh: the "
-                        "refill path is single-chip; use the lockstep "
+                        "device_refill ignored with device_mesh: the "
+                        "refill paths are single-chip; use the lockstep "
                         "mesh-sharded path")
                     device_refill = False
                 mesh = None
@@ -360,15 +370,28 @@ def main() -> None:
                     with_flip=True, batch_size=device_batch, mesh=mesh,
                     trunk_cache=_normalize_trunk_cache(
                         eval_cfg.get("trunk_cache", "auto")),
-                    refill_api=device_refill,
+                    refill_api=device_refill == "host",
+                    group_api=device_refill == "device",
                     chunk_clicks=int(eval_cfg.get("chunk_clicks", 4)),
                 )
                 t0 = _time()
-                if device_refill:
+                if device_refill == "device":
+                    from isegprobe_tpu.inference.device_eval import (
+                        evaluate_dataset_group,
+                    )
+
                     refill_stats: dict = {}
+                    all_ious = evaluate_dataset_group(
+                        run, params, dataset, sample_times=sample_times,
+                        stats=refill_stats,
+                    )
+                    logger.info(f"group-eval stats: {refill_stats}")
+                elif device_refill == "host":
+                    refill_stats = {}
                     all_ious = evaluate_dataset_refill(
                         run, params, dataset, sample_times=sample_times,
                         stats=refill_stats,
+                        streams=int(eval_cfg.get("refill_streams", 3)),
                     )
                     logger.info(f"refill stats: {refill_stats}")
                 else:

@@ -61,6 +61,19 @@ class _RefillEvaluator:
         self.max_clicks = max_clicks
 
 
+class _GroupEvaluator:
+    """Handle for the on-device continuous-batching eval API
+    (``make_device_evaluator(..., group_api=True)``): one jitted
+    ``run(params, jobs_img, jobs_gt, jobs_hw, n_valid)`` evaluating a whole
+    same-shape job group per dispatch, lanes refilled from an on-device
+    queue. Returns (ious [J_pad, max_clicks], n [J_pad])."""
+
+    def __init__(self, run, batch_size, max_clicks):
+        self.run = run
+        self.batch_size = batch_size
+        self.max_clicks = max_clicks
+
+
 def _bbox_from_mask(mask: jnp.ndarray):
     """Inclusive bbox of a non-empty [H, W] bool mask (f32 scalars)."""
     h, w = mask.shape
@@ -124,6 +137,7 @@ def make_device_evaluator(
     trunk_cache: str = "auto",
     refill_api: bool = False,
     chunk_clicks: int = 4,
+    group_api: bool = False,
 ):
     """Build a jitted ``run(params, image_pad, gt_pad, valid_hw)`` evaluating
     samples entirely on device. Returns (ious [max_clicks], n_clicks).
@@ -169,6 +183,15 @@ def make_device_evaluator(
     if refill_api and chunk_clicks < 1:
         raise ValueError(f"chunk_clicks must be >= 1, got {chunk_clicks} "
                          "(a 0-click chunk would make the refill driver spin)")
+    if group_api and refill_api:
+        raise ValueError("group_api and refill_api are alternative "
+                         "continuous-batching modes; pick one")
+    if group_api and batch_size <= 1:
+        raise ValueError("group_api requires batch_size > 1")
+    if group_api and mesh is not None:
+        raise ValueError("group_api is single-chip (the on-device job queue "
+                         "is a global scalar); use the lockstep evaluator "
+                         "with mesh instead")
 
     # Program-name salt: protocol thresholds and the model config are BAKED
     # constants — two evaluators differing only in e.g. target_iou produce
@@ -178,7 +201,7 @@ def make_device_evaluator(
         repr(model), target_size, max_clicks, net_clicks_limit, pred_thr,
         target_iou, min_clicks, with_flip, roi_prob_thresh, expansion_ratio,
         min_crop_size, recompute_thresh_iou, batch_size, use_cache,
-        chunk_clicks,
+        chunk_clicks, group_api,
         # mesh-sharded and unsharded evaluators take identically-shaped
         # inputs and differ only in in_shardings — salt the mesh layout
         None if mesh is None else (tuple(mesh.axis_names),
@@ -492,6 +515,100 @@ def make_device_evaluator(
         st = jax.lax.while_loop(_cond, lambda s: _body(params, s), st)
         return st["ious"], st["n"]
 
+    # ---- on-device continuous batching (job queue inside the loop) --------
+    # The host-driven refill API below still pays a tunnel round-trip per
+    # chunk plus up to chunk_clicks-1 wasted lane-clicks per finished lane.
+    # Here the WHOLE job group ships to HBM up front and the compiled loop
+    # itself refills lanes: each click, lanes that just finished write their
+    # results into a per-job output buffer and pull the next job from an
+    # on-device counter — one dispatch per GROUP, zero host syncs, and a
+    # lane idles at most the final drain. Per-sample trajectories are
+    # identical to the lockstep/per-sample paths (lanes are
+    # protocol-independent; tests/test_group_eval.py).
+
+    if group_api:
+        def run_group(params, jobs_img, jobs_gt, jobs_hw, n_valid):
+            jpad = jobs_img.shape[0]
+            sent = jpad  # scratch output row absorbing idle-lane writes
+            b = batch_size
+            lane_ids = jnp.arange(b, dtype=jnp.int32)
+            st = _init_state(params, jobs_img[:b], jobs_gt[:b], jobs_hw[:b])
+            live0 = lane_ids < n_valid
+            st["done"] = ~live0
+            # queue bookkeeping lives OUTSIDE the lane state: _body vmaps the
+            # state dict over the lane axis, and these carry scalar / per-job
+            # shapes
+            q = dict(
+                job_id=jnp.where(live0, lane_ids, sent),
+                next_job=jnp.minimum(
+                    jnp.asarray(b, jnp.int32), n_valid.astype(jnp.int32)),
+                out_ious=jnp.zeros((jpad + 1, max_clicks), jnp.float32),
+                out_n=jnp.zeros((jpad + 1,), jnp.int32),
+            )
+
+            def body(carry):
+                st, q = carry
+                new = _body(params, st)
+                active = (~st["done"]) & (st["n"] < max_clicks)
+                fin = active & (new["done"] | (new["n"] >= max_clicks))
+
+                def harvest(carry):
+                    new, q = carry
+                    # results out: finished lanes write their job's row; the
+                    # rest target the scratch row (duplicate writes collide
+                    # only there, harmlessly)
+                    tgt = jnp.where(fin, q["job_id"], sent)
+                    out_ious = q["out_ious"].at[tgt].set(new["ious"])
+                    out_n = q["out_n"].at[tgt].set(new["n"])
+                    # jobs in: hand out queue slots in lane order
+                    cand = q["next_job"] + jnp.cumsum(
+                        fin.astype(jnp.int32)) - 1
+                    take = fin & (cand < n_valid)
+                    safe = jnp.clip(cand, 0, jpad - 1)
+                    fresh = jax.vmap(_init_lane)(
+                        jnp.take(jobs_img, safe, axis=0),
+                        jnp.take(jobs_gt, safe, axis=0),
+                        jnp.take(jobs_hw, safe, axis=0),
+                    )
+                    out = dict(new)
+                    for k, v in fresh.items():
+                        mask = take.reshape((-1,) + (1,) * (v.ndim - 1))
+                        out[k] = jnp.where(mask, v, new[k])
+                    if use_cache:
+                        # poison refilled lanes' cached-trunk ROI so the next
+                        # click's batch-global predicate recomputes the trunk
+                        # (cost: one batched trunk per refill click for
+                        # late-injection configs; the host refill API instead
+                        # scatters a single-lane trunk from the host side)
+                        out["trunk_roi"] = jnp.where(
+                            take[:, None], -1, out["trunk_roi"])
+                    q2 = dict(
+                        # finished-but-unfilled lanes park on the scratch
+                        # row; everyone else keeps their job
+                        job_id=jnp.where(
+                            take, safe, jnp.where(fin, sent, q["job_id"])),
+                        next_job=q["next_job"] + jnp.sum(
+                            take.astype(jnp.int32)),
+                        out_ious=out_ious,
+                        out_n=out_n,
+                    )
+                    return out, q2
+
+                # the whole harvest (scatter + job gather + lane reinit) runs
+                # only on clicks where some lane actually finished
+                return jax.lax.cond(jnp.any(fin), harvest, lambda c: c,
+                                    (new, q))
+
+            st, q = jax.lax.while_loop(
+                lambda c: _cond(c[0]), body, (st, q))
+            return q["out_ious"][:-1], q["out_n"][:-1]
+
+        return _GroupEvaluator(
+            run=jax.jit(stamped(run_group, cfg_salt)),
+            batch_size=batch_size,
+            max_clicks=max_clicks,
+        )
+
     # ---- continuous-batching API (lane-level refill) -----------------------
     # The lockstep `run_batched` pays for stragglers: every lane computes
     # until the SLOWEST lane in its batch finishes, so real-dataset
@@ -730,9 +847,100 @@ def evaluate_dataset_device(run_fn, params, dataset, depth: int = 2,
     return results
 
 
+class _RefillStream:
+    """One independent lane-state of the continuous-batching driver."""
+
+    __slots__ = ("st", "assigned", "t_start", "sync")
+
+    def __init__(self, st, assigned, t_start):
+        self.st = st
+        self.assigned = assigned  # lane -> order_idx
+        self.t_start = t_start  # lane -> submit wall time
+        self.sync = None  # arrays to fetch after the in-flight step
+
+
+def _start_host_copy(st):
+    """Begin the device→host transfer of the per-chunk sync arrays NOW (they
+    complete right after the in-flight step finishes on device), so the later
+    blocking fetch overlaps another stream's compute instead of serializing
+    behind it. Returns the array handles to fetch."""
+    arrs = (st["n"], st["done"], st["ious"])
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except Exception:  # backend without async host copies: fetch later
+            pass
+    return arrs
+
+
+def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
+                           sample_times: Optional[list] = None,
+                           stats: Optional[dict] = None,
+                           depth: int = 2, job_bucket: int = 0):
+    """On-device continuous-batching dataset evaluation
+    (``group_api=True`` evaluator).
+
+    One dispatch per same-shape job group: the whole group's padded frames
+    ship to HBM up front and the compiled loop refills finished lanes from an
+    on-device job counter (see ``make_device_evaluator``'s group_api block).
+    Compared to the host-driven refill driver this removes every per-chunk
+    tunnel round-trip AND the intra-chunk wasted lane-clicks — the only
+    straggler cost left is the final drain when fewer jobs than lanes remain.
+
+    Job counts are padded up to a multiple of ``job_bucket`` (default
+    ``2*batch_size``) so group sizes bucket into few compiled shapes; padding
+    duplicates the last job and is sliced away (``n_valid`` stops the queue
+    first, so padding never runs). Dispatches are pipelined ``depth`` deep —
+    group i+1 uploads while group i computes. ``sample_times`` records each
+    sample's group wall (submit→group completion), the latency a user of
+    this path observes."""
+    from collections import deque
+    from time import time as _time
+
+    jobs, by_shape = _build_jobs(dataset, bucket)
+    results = [None] * len(jobs)
+    b = ev.batch_size
+    jb = job_bucket or 2 * b
+    n_dispatch = 0
+
+    def _drain(entry):
+        group, handles, t0 = entry
+        ious_j, n_j = jax.device_get(handles)
+        wall = _time() - t0
+        for row, (order_idx, *_rest) in enumerate(group):
+            results[order_idx] = ious_j[row][: int(n_j[row])]
+            if sample_times is not None:
+                sample_times.append(wall)
+
+    pending: deque = deque()
+    for group in by_shape.values():
+        jpad = max(b, -(-len(group) // jb) * jb)
+        fill = group + [group[-1]] * (jpad - len(group))
+        handles = ev.run(
+            params,
+            jnp.asarray(np.stack([j[1] for j in fill])),
+            jnp.asarray(np.stack([j[2] for j in fill])),
+            jnp.asarray(np.stack([j[3] for j in fill])),
+            jnp.asarray(len(group), jnp.int32),
+        )
+        n_dispatch += 1
+        pending.append((group, handles, _time()))
+        if len(pending) >= max(1, depth):
+            _drain(pending.popleft())
+    while pending:
+        _drain(pending.popleft())
+    if stats is not None:
+        stats.update(
+            dispatches=n_dispatch, batch_size=b,
+            useful_clicks=sum(len(a) for a in results if a is not None),
+        )
+    return results
+
+
 def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
                             sample_times: Optional[list] = None,
-                            stats: Optional[dict] = None):
+                            stats: Optional[dict] = None,
+                            streams: int = 2, prefetch: int = 4):
     """Continuous-batching dataset evaluation (`refill_api=True` evaluator).
 
     The lockstep batched path (`evaluate_dataset_device`, batch_size>1) runs
@@ -746,11 +954,21 @@ def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
     the lockstep and per-sample paths — lanes are protocol-independent —
     so this changes throughput, never results (tests/test_refill_eval.py).
 
+    The driver is double-buffered: up to ``streams`` independent lane-states
+    run round-robin so one stream's chunk computes on device while the host
+    syncs scalars and dispatches refills for another — without this the chip
+    idles during every per-chunk host round-trip (the dominant cost on a
+    tunnel-attached chip, where a blocking fetch is ~10 ms). Each stream's
+    sync arrays start their device→host copy at dispatch time
+    (``copy_to_host_async``), and the next ``prefetch`` samples' uploads are
+    enqueued ahead of need so a refill's scatter never waits on the transfer.
+
     Jobs are grouped by padded bucket shape (lanes of one state share a
     static frame shape); refill happens within a group. Returns per-sample
     iou arrays in dataset order; ``sample_times`` (a list) collects each
     sample's submit→finish wall, including chunk-granularity waiting.
     """
+    from collections import deque
     from time import time as _time
 
     jobs, by_shape = _build_jobs(dataset, bucket)
@@ -758,53 +976,79 @@ def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
     b = ev.batch_size
     n_chunks = n_refills = 0
     for group in by_shape.values():
-        first = group[:b]
-        pad = [first[-1]] * (b - len(first))  # duplicate-pad, retired below
-        fill = first + pad
-        st = ev.init(
-            params,
-            jnp.asarray(np.stack([j[1] for j in fill])),
-            jnp.asarray(np.stack([j[2] for j in fill])),
-            jnp.asarray(np.stack([j[3] for j in fill])),
-        )
-        t0 = _time()
-        assigned = {lane: fill[lane][0] for lane in range(len(first))}
-        t_start = {lane: t0 for lane in assigned}
-        for lane in range(len(first), b):
-            st = ev.retire(st, lane)
-        next_i = len(first)
+        queue = deque(group)  # (order_idx, host_img, host_gt, host_hw)
+        # device-side prefetch of upcoming refill jobs: enqueue the
+        # host→device upload early so it rides behind compute, not in the
+        # refill dispatch's critical path
+        ready: deque = deque()
 
-        while assigned:
-            st = ev.step(params, st)
+        def _prefetch_fill():
+            while queue and len(ready) < max(1, prefetch):
+                oi, img, gt, hw = queue.popleft()
+                ready.append((oi, jnp.asarray(img), jnp.asarray(gt),
+                              jnp.asarray(hw)))
+
+        # spin up as many streams as the group can keep busy
+        n_streams = max(1, min(int(streams), -(-len(group) // b)))
+        live: deque = deque()
+        for _ in range(n_streams):
+            first = [queue.popleft() for _ in range(min(b, len(queue)))]
+            if not first:
+                break
+            fill = first + [first[-1]] * (b - len(first))  # duplicate-pad
+            st = ev.init(
+                params,
+                jnp.asarray(np.stack([j[1] for j in fill])),
+                jnp.asarray(np.stack([j[2] for j in fill])),
+                jnp.asarray(np.stack([j[3] for j in fill])),
+            )
+            t0 = _time()
+            stream = _RefillStream(
+                st,
+                {lane: fill[lane][0] for lane in range(len(first))},
+                {lane: t0 for lane in range(len(first))},
+            )
+            for lane in range(len(first), b):
+                stream.st = ev.retire(stream.st, lane)
+            # dispatch the first chunk (async) and start its sync copy
+            stream.st = ev.step(params, stream.st)
+            stream.sync = _start_host_copy(stream.st)
             n_chunks += 1
-            # one round-trip for the tiny per-lane scalars (the tunnel makes
-            # each host fetch latency-bound, not bandwidth-bound)
-            n_b, done_b = jax.device_get((st["n"], st["done"]))
-            fin = [lane for lane in assigned
+            live.append(stream)
+        _prefetch_fill()
+
+        while live:
+            s = live.popleft()
+            # blocks only until THIS stream's in-flight chunk is done; the
+            # other streams' chunks keep the chip busy meanwhile
+            n_b, done_b, ious_b = (np.asarray(a) for a in s.sync)
+            fin = [lane for lane in s.assigned
                    if done_b[lane] or n_b[lane] >= ev.max_clicks]
-            if not fin:
-                continue
-            ious_b = np.asarray(st["ious"])
             now = _time()
             for lane in fin:
-                results[assigned[lane]] = ious_b[lane][: int(n_b[lane])]
+                results[s.assigned[lane]] = ious_b[lane][: int(n_b[lane])]
                 if sample_times is not None:
-                    sample_times.append(now - t_start[lane])
-                if next_i < len(group):
-                    oi, img, gt, hw = group[next_i]
-                    next_i += 1
-                    st = ev.refill(params, st, lane, jnp.asarray(img),
-                                   jnp.asarray(gt), jnp.asarray(hw))
+                    sample_times.append(now - s.t_start[lane])
+                _prefetch_fill()
+                if ready:
+                    oi, img_d, gt_d, hw_d = ready.popleft()
+                    s.st = ev.refill(params, s.st, lane, img_d, gt_d, hw_d)
                     n_refills += 1
-                    assigned[lane] = oi
-                    t_start[lane] = now
+                    s.assigned[lane] = oi
+                    s.t_start[lane] = now
                 else:
-                    st = ev.retire(st, lane)
-                    del assigned[lane]
-                    del t_start[lane]
+                    s.st = ev.retire(s.st, lane)
+                    del s.assigned[lane]
+                    del s.t_start[lane]
+            if s.assigned:
+                s.st = ev.step(params, s.st)
+                s.sync = _start_host_copy(s.st)
+                n_chunks += 1
+                live.append(s)
     if stats is not None:
         stats.update(
             chunks=n_chunks, refills=n_refills, batch_size=b,
-            useful_clicks=sum(len(a) for a in results if a is not None),
+            streams=streams, useful_clicks=sum(
+                len(a) for a in results if a is not None),
         )
     return results

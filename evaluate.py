@@ -328,14 +328,35 @@ def main() -> None:
                         "device_refill ignored: continuous batching "
                         f"needs device_batch>1 (got {device_batch})")
                     device_refill = False
+                refill_devices = None
                 if device_refill and eval_cfg.get("device_mesh", False):
-                    logger.warning(
-                        "device_refill ignored with device_mesh: the "
-                        "refill paths are single-chip; use the lockstep "
-                        "mesh-sharded path")
-                    device_refill = False
+                    if device_refill == "device":
+                        # the on-device job queue composes with multiple
+                        # chips the embarrassingly-parallel way: one queue
+                        # program per device, params replicated, zero
+                        # cross-chip sync (no Mesh object involved). With a
+                        # single visible device, skip the explicit placement
+                        # entirely (committed-device dispatch is pure
+                        # overhead there, and the tunnel-attached backend
+                        # mishandles it)
+                        import jax
+
+                        refill_devices = jax.devices()
+                        if len(refill_devices) <= 1:
+                            logger.warning(
+                                "device_mesh=true with device_refill: only "
+                                "one device visible - running the "
+                                "single-device job queue")
+                            refill_devices = None
+                    else:
+                        logger.warning(
+                            "device_refill=host ignored with device_mesh: "
+                            "the chunked host-refill path is single-chip; "
+                            "use device_refill=true (per-device job queues) "
+                            "or the lockstep mesh-sharded path")
+                        device_refill = False
                 mesh = None
-                if eval_cfg.get("device_mesh", False):
+                if eval_cfg.get("device_mesh", False) and not device_refill:
                     # shard the sample axis over every chip (data axis);
                     # lanes are independent, so eval scales like DP training
                     import jax
@@ -383,7 +404,7 @@ def main() -> None:
                     refill_stats: dict = {}
                     all_ious = evaluate_dataset_group(
                         run, params, dataset, sample_times=sample_times,
-                        stats=refill_stats,
+                        stats=refill_stats, devices=refill_devices,
                     )
                     logger.info(f"group-eval stats: {refill_stats}")
                 elif device_refill == "host":

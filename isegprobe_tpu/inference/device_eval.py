@@ -876,7 +876,8 @@ def _start_host_copy(st):
 def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
                            sample_times: Optional[list] = None,
                            stats: Optional[dict] = None,
-                           depth: int = 2, job_bucket: int = 0):
+                           depth: int = 2, job_bucket: int = 0,
+                           devices: Optional[list] = None):
     """On-device continuous-batching dataset evaluation
     (``group_api=True`` evaluator).
 
@@ -893,7 +894,16 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
     first, so padding never runs). Dispatches are pipelined ``depth`` deep —
     group i+1 uploads while group i computes. ``sample_times`` records each
     sample's group wall (submit→group completion), the latency a user of
-    this path observes."""
+    this path observes.
+
+    ``devices`` (a list of ``jax.Device``) scales the sweep across chips the
+    embarrassingly-parallel way: each shape group's jobs are dealt
+    round-robin into one sub-queue per device, and every device runs its own
+    job-queue program against a local replica of the params — no mesh, no
+    collectives, no cross-chip sync at all (contrast the lockstep
+    ``mesh=...`` evaluator, which shards one program's lane axis). Dealing
+    round-robin keeps sub-queue lengths within 1 job so they share one
+    compiled (frame-shape, J_pad) signature."""
     from collections import deque
     from time import time as _time
 
@@ -903,35 +913,58 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
     jb = job_bucket or 2 * b
     n_dispatch = 0
 
+    devices = list(devices) if devices else [None]
+    if len(devices) == 1:
+        # single device: default placement — identical scheduling, and some
+        # remote backends (the axon tunnel) hang on committed-device dispatch
+        devices = [None]
+    # one params replica per device (device_put is a no-op for the default
+    # device; committed inputs make jit run the program on that device)
+    params_by_dev = {
+        d: (params if d is None else jax.device_put(params, d))
+        for d in devices
+    }
+
+    def _put(x, d):
+        arr = jnp.asarray(x)
+        return arr if d is None else jax.device_put(arr, d)
+
     def _drain(entry):
-        group, handles, t0 = entry
+        subgroup, handles, t0 = entry
         ious_j, n_j = jax.device_get(handles)
         wall = _time() - t0
-        for row, (order_idx, *_rest) in enumerate(group):
+        for row, (order_idx, *_rest) in enumerate(subgroup):
             results[order_idx] = ious_j[row][: int(n_j[row])]
             if sample_times is not None:
                 sample_times.append(wall)
 
     pending: deque = deque()
     for group in by_shape.values():
-        jpad = max(b, -(-len(group) // jb) * jb)
-        fill = group + [group[-1]] * (jpad - len(group))
-        handles = ev.run(
-            params,
-            jnp.asarray(np.stack([j[1] for j in fill])),
-            jnp.asarray(np.stack([j[2] for j in fill])),
-            jnp.asarray(np.stack([j[3] for j in fill])),
-            jnp.asarray(len(group), jnp.int32),
-        )
-        n_dispatch += 1
-        pending.append((group, handles, _time()))
-        if len(pending) >= max(1, depth):
-            _drain(pending.popleft())
+        n_dev = min(len(devices), max(1, -(-len(group) // b)))
+        for di in range(n_dev):
+            subgroup = group[di::n_dev]
+            if not subgroup:
+                continue
+            dev = devices[di]
+            jpad = max(b, -(-len(subgroup) // jb) * jb)
+            fill = subgroup + [subgroup[-1]] * (jpad - len(subgroup))
+            handles = ev.run(
+                params_by_dev[dev],
+                _put(np.stack([j[1] for j in fill]), dev),
+                _put(np.stack([j[2] for j in fill]), dev),
+                _put(np.stack([j[3] for j in fill]), dev),
+                _put(np.asarray(len(subgroup), np.int32), dev),
+            )
+            n_dispatch += 1
+            pending.append((subgroup, handles, _time()))
+            # keep `depth` dispatches in flight PER DEVICE
+            if len(pending) >= max(1, depth) * len(devices):
+                _drain(pending.popleft())
     while pending:
         _drain(pending.popleft())
     if stats is not None:
         stats.update(
-            dispatches=n_dispatch, batch_size=b,
+            dispatches=n_dispatch, batch_size=b, devices=len(devices),
             useful_clicks=sum(len(a) for a in results if a is not None),
         )
     return results

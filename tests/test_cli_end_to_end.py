@@ -203,6 +203,56 @@ def test_evaluate_main_device_refill(fixture_dataset, fixture_checkpoint,
     assert "GrabCut" in results
 
 
+@pytest.mark.parametrize("variant", ["host", "multidev"])
+def test_evaluate_main_refill_variants(fixture_dataset, fixture_checkpoint,
+                                       tmp_path, monkeypatch, variant):
+    """The other two continuous-batching CLI routes: device_refill=host
+    (chunked host-driven lane swaps) and device_refill=true + device_mesh=true
+    (one on-device job queue per device, jobs dealt round-robin)."""
+    repo = Path(__file__).resolve().parents[1]
+    main_cfg = {
+        "EXPS_PATH": str(tmp_path / "exps"),
+        "INTERACTIVE_MODELS_PATH": str(tmp_path),
+        "DATASETS": {"GRABCUT_PATH": str(fixture_dataset)},
+        "UPSAMPLERS": {},
+    }
+    main_cfg_path = tmp_path / "main_cfg.yaml"
+    main_cfg_path.write_text(yaml.safe_dump(main_cfg))
+
+    extra = (["device_refill=host", "chunk_clicks=1", "refill_streams=2"]
+             if variant == "host"
+             else ["device_refill=true", "device_mesh=true"])
+    monkeypatch.chdir(repo)
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "evaluate.py",
+            f"checkpoint={fixture_checkpoint}",
+            "datasets=GrabCut",
+            "eval_mode=fixed112",
+            "n_clicks=2",
+            "target_iou=0.9",
+            "print_ious=false",
+            "iou_analysis=false",
+            "device_loop=true",
+            "device_batch=2",
+            *extra,
+            f"main_cfg_path={main_cfg_path}",
+            f"logs_path={tmp_path / 'logs_refill_v'}",
+        ],
+    )
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"isegprobe_evaluate_cli_refill_{variant}", repo / "evaluate.py"
+    )
+    evaluate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(evaluate)
+    evaluate.main()
+    results = (tmp_path / "logs_refill_v" / "results.txt").read_text()
+    assert "GrabCut" in results
+
+
 def test_evaluate_main_int8(fixture_dataset, fixture_checkpoint, tmp_path,
                             monkeypatch):
     """eval dtype=int8: the W8A8 serving mode drives the same compiled device

@@ -116,6 +116,35 @@ def test_group_smaller_than_batch():
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
 
 
+def test_group_multi_device_matches_single():
+    """Per-device job queues (devices=...): jobs dealt round-robin across
+    every visible device, each running its own queue program against a local
+    params replica — trajectories must match the single-device group path
+    exactly (zero cross-device communication, so this IS the multi-chip
+    dataset-sweep story for the queue path)."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    model, params = _make_model("before_backbone")
+    max_clicks = 4
+    common = dict(target_size=(56, 56), max_clicks=max_clicks,
+                  net_clicks_limit=max_clicks, pred_thr=0.49, target_iou=0.80,
+                  with_flip=True)
+    ev = make_device_evaluator(model, batch_size=2, group_api=True, **common)
+
+    ds = _DS([0, 3, 5, 7, 11, 2, 9, 4, 8])
+    single = evaluate_dataset_group(ev, params, ds)
+    stats: dict = {}
+    multi = evaluate_dataset_group(ev, params, ds, devices=jax.devices(),
+                                   stats=stats)
+    assert stats["devices"] == n_dev
+    assert stats["dispatches"] > 1  # the group actually split across devices
+    assert len(multi) == len(single) == 9
+    for a, b in zip(single, multi):
+        assert len(a) == len(b)
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
+
 def test_group_api_validation():
     model, params = _make_model("before_backbone")
     with pytest.raises(ValueError, match="batch_size"):

@@ -316,9 +316,15 @@ def main() -> None:
                 # one dispatch per group) | 'host' (chunked host-driven
                 # lane swaps) — identical results, different throughput
                 refill_raw = eval_cfg.get("device_refill", False)
-                if isinstance(refill_raw, str) and refill_raw.lower() in (
-                        "false", "true", "0", "1"):
-                    refill_raw = refill_raw.lower() in ("true", "1")
+                if isinstance(refill_raw, str):
+                    refill_raw = refill_raw.lower()
+                    if refill_raw in ("false", "true", "0", "1"):
+                        refill_raw = refill_raw in ("true", "1")
+                    elif refill_raw not in ("host", "device"):
+                        raise ValueError(
+                            f"device_refill={refill_raw!r} not recognized; "
+                            "use false, true/'device' (on-device job queue) "
+                            "or 'host' (chunked host-driven refill)")
                 device_refill = (
                     "host" if refill_raw == "host"
                     else "device" if refill_raw in (True, "device")

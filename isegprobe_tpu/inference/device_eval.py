@@ -868,7 +868,11 @@ def _start_host_copy(st):
     for a in arrs:
         try:
             a.copy_to_host_async()
-        except Exception:  # backend without async host copies: fetch later
+        except (NotImplementedError, AttributeError):
+            # backend without async host copies: the blocking fetch later is
+            # still correct. Anything else (e.g. a donated/deleted buffer)
+            # must propagate — swallowing it would resurface as an opaque
+            # hang in another stream's fetch.
             pass
     return arrs
 
@@ -918,16 +922,20 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
         # single device: default placement — identical scheduling, and some
         # remote backends (the axon tunnel) hang on committed-device dispatch
         devices = [None]
-    # one params replica per device (device_put is a no-op for the default
-    # device; committed inputs make jit run the program on that device)
-    params_by_dev = {
-        d: (params if d is None else jax.device_put(params, d))
-        for d in devices
-    }
+    # params replicas materialize lazily: a sweep whose groups never reach
+    # device k must not park an unused full-parameter copy in its HBM
+    params_by_dev = {}
+
+    def _params_for(dev):
+        if dev not in params_by_dev:
+            params_by_dev[dev] = (
+                params if dev is None else jax.device_put(params, dev))
+        return params_by_dev[dev]
 
     def _put(x, d):
-        arr = jnp.asarray(x)
-        return arr if d is None else jax.device_put(arr, d)
+        # hand numpy straight to device_put: jnp.asarray would stage the
+        # full frame stack on the DEFAULT device first and copy again
+        return jnp.asarray(x) if d is None else jax.device_put(x, d)
 
     def _drain(entry):
         subgroup, handles, t0 = entry
@@ -938,30 +946,36 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
             if sample_times is not None:
                 sample_times.append(wall)
 
-    pending: deque = deque()
+    # one in-flight queue per device: the cap must bound HBM PER CHIP, and a
+    # global count would let one device accumulate every group while the
+    # rest idle
+    pending = {di: deque() for di in range(len(devices))}
+    base = 0  # rotates so consecutive small groups land on different chips
     for group in by_shape.values():
         n_dev = min(len(devices), max(1, -(-len(group) // b)))
         for di in range(n_dev):
             subgroup = group[di::n_dev]
             if not subgroup:
                 continue
-            dev = devices[di]
+            dev_idx = (base + di) % len(devices)
+            dev = devices[dev_idx]
             jpad = max(b, -(-len(subgroup) // jb) * jb)
             fill = subgroup + [subgroup[-1]] * (jpad - len(subgroup))
             handles = ev.run(
-                params_by_dev[dev],
+                _params_for(dev),
                 _put(np.stack([j[1] for j in fill]), dev),
                 _put(np.stack([j[2] for j in fill]), dev),
                 _put(np.stack([j[3] for j in fill]), dev),
                 _put(np.asarray(len(subgroup), np.int32), dev),
             )
             n_dispatch += 1
-            pending.append((subgroup, handles, _time()))
-            # keep `depth` dispatches in flight PER DEVICE
-            if len(pending) >= max(1, depth) * len(devices):
-                _drain(pending.popleft())
-    while pending:
-        _drain(pending.popleft())
+            pending[dev_idx].append((subgroup, handles, _time()))
+            if len(pending[dev_idx]) >= max(1, depth):
+                _drain(pending[dev_idx].popleft())
+        base = (base + n_dev) % len(devices)
+    for q in pending.values():
+        while q:
+            _drain(q.popleft())
     if stats is not None:
         stats.update(
             dispatches=n_dispatch, batch_size=b, devices=len(devices),

@@ -892,13 +892,14 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
     tunnel round-trip AND the intra-chunk wasted lane-clicks — the only
     straggler cost left is the final drain when fewer jobs than lanes remain.
 
-    Job counts are padded up to a multiple of ``job_bucket`` (default
-    ``2*batch_size``) so group sizes bucket into few compiled shapes; padding
-    duplicates the last job and is sliced away (``n_valid`` stops the queue
-    first, so padding never runs). Dispatches are pipelined ``depth`` deep —
-    group i+1 uploads while group i computes. ``sample_times`` records each
-    sample's group wall (submit→group completion), the latency a user of
-    this path observes.
+    Job counts are padded up to the next power of two (floored at
+    ``job_bucket``, default ``2*batch_size``): the group program is a
+    multi-minute compile, and pow2 bucketing caps how many distinct J_pad
+    signatures a sweep can produce. Padding duplicates the last job and is
+    sliced away (``n_valid`` stops the queue first, so padding never runs).
+    Dispatches are pipelined ``depth`` deep — group i+1 uploads while group
+    i computes. ``sample_times`` records each sample's group wall
+    (submit→group completion), the latency a user of this path observes.
 
     ``devices`` (a list of ``jax.Device``) scales the sweep across chips the
     embarrassingly-parallel way: each shape group's jobs are dealt
@@ -959,7 +960,14 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
                 continue
             dev_idx = (base + di) % len(devices)
             dev = devices[dev_idx]
-            jpad = max(b, -(-len(subgroup) // jb) * jb)
+            # next power of two (>= the jb floor): the group program is a
+            # multi-minute compile, and pow2 bucketing caps the number of
+            # distinct J_pad signatures a dataset sweep can produce; padding
+            # costs only duplicate uint8 frames in HBM (n_valid stops the
+            # queue before padding ever runs)
+            jpad = max(b, jb)
+            while jpad < len(subgroup):
+                jpad *= 2
             fill = subgroup + [subgroup[-1]] * (jpad - len(subgroup))
             handles = ev.run(
                 _params_for(dev),

@@ -129,8 +129,9 @@ def _attn_kernel_pairs(q_ref, k_ref, v_ref, o_ref, *, scale, n_valid):
     o_ref[0] = jnp.concatenate(halves, axis=-1).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
-def _mha_qkv_pallas_pairs(qkv, num_heads, scale, interpret=False):
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret", "bq"))
+def _mha_qkv_pallas_pairs(qkv, num_heads, scale, interpret=False, bq=None):
     """Zero-relayout fused self-attention on the packed [B, N, 3C] tensor.
 
     Requires dh == 64 and an even head count (true of every architecture in
@@ -150,7 +151,16 @@ def _mha_qkv_pallas_pairs(qkv, num_heads, scale, interpret=False):
     pairs = num_heads // 2
     pc = c // 128  # lane-blocks per tensor = pairs
     assert pc == pairs
-    bq = min(256, n)
+    if bq is None:
+        # One tight query block when the f32 score panel fits VMEM: at the
+        # 1025-token serving shape, bq=256 pads the query grid to 1280 rows
+        # (25% wasted QK^T/PV work) and re-reads the K/V panels 5x. A single
+        # 1040-row block measured 0.480 vs 0.732 ms/call (1.52x) on v5e
+        # (scripts/bench_attn_bq.py; 528 scored 0.564, 352 scored 0.811).
+        # Beyond ~1152 rows the [bq, n] f32 score/exp panels crowd VMEM:
+        # fall back to 512-row blocks (the best multi-block size measured).
+        tight = -(-n // 16) * 16  # bf16 sublane-tile multiple
+        bq = tight if tight <= 1152 else 512
     grid = (b, pairs, -(-n // bq))
     out = pl.pallas_call(
         functools.partial(_attn_kernel_pairs, scale=scale, n_valid=n),

@@ -165,6 +165,24 @@ def test_packed_qkv_attention_matches_split():
     np.testing.assert_allclose(got3, want3, rtol=1e-5, atol=1e-5)
 
 
+def test_pairs_kernel_bq_invariance():
+    """The head-pair kernel's query block size is a pure tiling knob: any
+    bq (tight single block, ragged last block, default heuristic) must give
+    identical attention up to f32 rounding (scripts/bench_attn_bq.py sweeps
+    it for speed on-chip; correctness must not depend on the choice)."""
+    from isegprobe_tpu.ops.attention import _mha_qkv_jnp, _mha_qkv_pallas_pairs
+
+    rng = np.random.default_rng(6)
+    h, dh = 4, 64
+    qkv = jnp.asarray(
+        rng.standard_normal((2, 130, 3 * h * dh), dtype=np.float32))
+    want = np.asarray(_mha_qkv_jnp(qkv, h, dh**-0.5))
+    for bq in (None, 64, 136):
+        got = np.asarray(_mha_qkv_pallas_pairs(
+            qkv, h, dh**-0.5, interpret=True, bq=bq))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_packed_qkv_attention_grad():
     """The custom-VJP backward (jnp-graph recompute) matches end-to-end
     autodiff through the jnp path."""

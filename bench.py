@@ -315,11 +315,12 @@ def main():
     baseline_s = measure_torch_baseline()
     vs = (baseline_s * 1000 / p50_ms) if np.isfinite(baseline_s) else None
     # MFU vs NOMINAL v5e matmul peaks: ~49 TF/s f32, ~197 TF/s bf16 (394 is
-    # the int8 figure). The practically achievable ceiling of this
-    # tunnel-attached chip is ~24 f32 / ~118 bf16 TF/s (chained square
-    # matmuls, docs/PERF.md) — i.e. true utilization is ~2x the numbers
-    # reported here. The latency loop runs f32 end-to-end for NoC parity;
-    # the batched bf16 MFU is the serving-throughput figure of merit.
+    # the int8 figure). Recalibration (scripts/bench_mxu_ceiling.py,
+    # docs/PERF.md finding 4) shows this chip reaches ~190 TF/s bf16 /
+    # ~27-30 f32 on large matmuls, so nominal-peak MFU here is the honest
+    # utilization figure. The latency loop runs f32 end-to-end for NoC
+    # parity; the batched bf16 MFU is the serving-throughput figure of
+    # merit.
     gflops_click = forward_gflops()
     mfu_f32 = gflops_click / (p50_ms / 1e3) / 49e3 * 100
     mfu_bf16_batched = clicks_per_s_bf16 * gflops_click / 197e3 * 100

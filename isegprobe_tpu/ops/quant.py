@@ -22,6 +22,12 @@ path differs. Enabled per-model via ``eval_cfg.dtype=int8``
 The reference has no analogue (torch fp32/fp16 only); this is a TPU-native
 "beyond parity" serving knob. NoC impact is measured, not assumed — see
 BASELINE.md (int8 row) and tests/test_quant.py for the numeric bounds.
+
+Measured verdict at ViT-S scale (docs/PERF.md finding 6): **bf16 is the
+recommended serving dtype.** At d_model=384 the serving matmuls already run
+near the bf16 MXU peak and the dynamic-quant activation pass costs as much
+as the int8 MXU saves (fc2 is 2× worse than bf16). This knob exists for
+larger-d_model backbones where the trade flips.
 """
 
 from __future__ import annotations

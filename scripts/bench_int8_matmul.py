@@ -24,7 +24,8 @@ import numpy as np
 from isegprobe_tpu.ops.quant import int8_dynamic_matmul
 from isegprobe_tpu.utils.misc import stamped
 
-K_LO, K_HI = 2, 10
+# sub-ms kernels need a large K spread to rise above tunnel wall noise
+K_LO, K_HI = 2, 202
 _EPS = 1e-8
 
 

@@ -195,8 +195,8 @@ def jbu_filter_pallas(hr, proj, temp, sigma, interpret: bool = False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, NTAP), lambda bi, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, th, tw, cp),
                                lambda bi, i, j: (bi, i, j, 0),

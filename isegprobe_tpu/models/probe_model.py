@@ -193,6 +193,12 @@ class iSegProbeModel(nn.Module):
     # 'int8': backbone dense layers run dynamic W8A8 on the int8 MXU
     # (ops/quant.py); set via eval_cfg.dtype=int8 — serving only
     quant: Any = None
+    # Serving-path fusion: run the seg head inside the LoftUp upsampler's
+    # banded slab loop (models/upsamplers/loftup.py ``tail``), so the
+    # [B, H, W, C] HR feature tensor never materializes in HBM. Numerically
+    # exact (tests/test_upsamplers.py); enabled by evaluate.py — training
+    # keeps the unfused path (the fused slabs cannot run under remat).
+    fuse_hr_head: bool = False
 
     def setup(self):
         assert self.architecture in ("backbone_upsampler_head", "backbone_neck_head")
@@ -266,18 +272,35 @@ class iSegProbeModel(nn.Module):
 
     # -- forward ----------------------------------------------------------
 
+    def _fused_head(self) -> bool:
+        """Head-in-slab fusion applies when enabled AND the upsampler accepts
+        a ``tail`` (LoftUp) AND the head implements the banded contract."""
+        return (
+            self.fuse_hr_head
+            and self.upsampler_type == "loftup"
+            and hasattr(self.head, "banded")
+        )
+
+    def _upsample_and_head(self, feats, image) -> jnp.ndarray:
+        """upsampler -> (resize) -> head, fusing the head into the LoftUp
+        slab loop when enabled (LoftUp output is always guidance-sized, so
+        the fused path never needs the intermediate resize)."""
+        h, w = image.shape[1], image.shape[2]
+        if self._fused_head():
+            return self.upsampler(feats, image, tail=self.head.banded,
+                                  tail_halo=self.head.tail_halo)
+        feats = self.upsampler(feats, image)
+        if self.upsampler_type != "identity" and feats.shape[1:3] != (h, w):
+            feats = resize(feats, (h, w), "bilinear", align_corners=True)
+        return self.head(feats)
+
     def backbone_forward(self, image, coord_features) -> Dict:
         if self.maps_transform is not None:
             coord_features = self.maps_transform(coord_features)
         coord_tokens = self.embed_coords(coord_features)
         feats = self.backbone(image, coord_tokens)
 
-        feats = self.upsampler(feats, image)
-        h, w = image.shape[1], image.shape[2]
-        if self.upsampler_type != "identity" and feats.shape[1:3] != (h, w):
-            feats = resize(feats, (h, w), "bilinear", align_corners=True)
-
-        out = self.head(feats)
+        out = self._upsample_and_head(feats, image)
         return {"instances": out, "instances_aux": None}
 
     def __call__(self, image: jnp.ndarray, points: jnp.ndarray) -> Dict:
@@ -318,11 +341,8 @@ class iSegProbeModel(nn.Module):
             b, gh, gw, c
         ).astype(jnp.float32)
 
-        feats = self.upsampler(feats, image)
+        out = self._upsample_and_head(feats, image)
         h, w = image.shape[1], image.shape[2]
-        if self.upsampler_type != "identity" and feats.shape[1:3] != (h, w):
-            feats = resize(feats, (h, w), "bilinear", align_corners=True)
-        out = self.head(feats)
         out = resize(out, (h, w), "bilinear", align_corners=True)
         return {"instances": out, "instances_aux": None}
 

@@ -310,7 +310,15 @@ class LoftUpUpsampler(nn.Module):
         ob = ob.reshape(b, chunk, w, self._cdim)
         return self.final_ln(self.final_conv(ob))
 
-    def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, source: jnp.ndarray, guidance: jnp.ndarray,
+                 tail=None, tail_halo: int = 0) -> jnp.ndarray:
+        """``tail``: optional fused epilogue (the seg head's ``banded``
+        contract — models/heads.py) applied inside the slab loop so the
+        [B, H, W, n_dim] HR feature map never materializes in HBM; the slab
+        band is extended by ``tail_halo`` rows each side to feed the tail's
+        3x3 convs exactly. The fused path skips the slab remat (the tail
+        closes over a sibling flax module, which lifted transforms reject) —
+        it is a serving-path feature; training uses the unfused call."""
         cdim = self._cdim
         source = self.channelnorm(source)
 
@@ -339,18 +347,35 @@ class LoftUpUpsampler(nn.Module):
             q = x.reshape(b, h * w, cdim)
             out = self.ca_transformer(q, kv)
             out = out.reshape(b, h, w, cdim)
-            return self.final_ln(self.final_conv(out))
+            out = self.final_ln(self.final_conv(out))
+            if tail is not None:
+                # emulate the monolithic head's zero padding with explicit
+                # zero halo rows (in_frame marks them out-of-frame)
+                th = tail_halo
+                if th:
+                    pad = jnp.zeros((b, th, w, out.shape[-1]), out.dtype)
+                    out = jnp.concatenate([pad, out, pad], axis=1)
+                in_frame = jnp.pad(jnp.ones((h,), jnp.float32), (th, th))
+                return tail(out, in_frame)
+            return out
 
         rows = jnp.linspace(-1.0, 1.0, h)
+        th = tail_halo if tail is not None else 0
         # remat: backward recomputes each slab instead of keeping all slabs'
         # residuals live (forward-only eval is unaffected)
-        slab = nn.remat(type(self)._slab)
+        slab = type(self)._slab if tail is not None else nn.remat(type(self)._slab)
         outs = []
         for r0 in range(0, h, chunk):
-            # slab + 2-row halo; out-of-frame rows are zeroed after the norm,
-            # reproducing the monolithic convs' zero padding at the frame edge
-            band = jnp.arange(r0 - 2, r0 + chunk + 2)
+            # slab + 2-row stem halo (+ tail_halo rows for the fused head);
+            # out-of-frame rows are zeroed after the norm, reproducing the
+            # monolithic convs' zero padding at the frame edge
+            band = jnp.arange(r0 - 2 - th, r0 + chunk + 2 + th)
             idx = jnp.clip(band, 0, h - 1)
             in_frame = ((band >= 0) & (band < h)).astype(x_scaled.dtype)
-            outs.append(slab(self, x_scaled[:, idx], kv, rows[idx], in_frame))
+            hr = slab(self, x_scaled[:, idx], kv, rows[idx], in_frame)
+            if tail is not None:
+                # hr: [b, chunk + 2*tail_halo, w, dim]; the stem consumed its
+                # own 2-row halo, so in_frame[2:-2] tracks the remaining rows
+                hr = tail(hr, in_frame[2:-2])
+            outs.append(hr)
         return jnp.concatenate(outs, axis=1)

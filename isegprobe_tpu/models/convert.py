@@ -164,9 +164,21 @@ def convert_reference_checkpoint(torch_checkpoint: Mapping) -> Dict:
             "norm_radius", "with_prev_mask", "with_aux_output",
             "use_rgb_conv", "use_leaky_relu",
         )
+
+        def _unwrap(v):
+            # a GENUINE reference checkpoint's @serialize decorator wraps
+            # every ctor param as {'type', 'value', 'specified'}
+            # (reference: core/utils/serialization.py:19-36); hand-built
+            # fixtures may carry plain values — accept both
+            if (isinstance(v, Mapping)
+                    and set(v.keys()) == {"type", "value", "specified"}):
+                return v["value"]
+            return v
+
         config = {
             "class": "isegprobe_tpu.models.probe_model.iSegProbeModel",
-            "params": {k: ref_params[k] for k in keep if k in ref_params},
+            "params": {k: _unwrap(ref_params[k]) for k in keep
+                       if k in ref_params},
         }
     return {"params": params, "config": config}
 

@@ -128,6 +128,12 @@ def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     # skip the SimpleClick-style pos-embed pre-interpolation
     eval_ritm = bool(eval_cfg.get("eval_ritm", False))
     overrides = {"use_rgb_conv": True} if eval_ritm else {}
+    # eval_cfg.fuse_hr_head=true: run the seg head inside the LoftUp slab
+    # loop (probe_model._fused_head — no-op for every other upsampler).
+    # Exact (tests/test_upsamplers.py) but measured perf-NEUTRAL at 448²
+    # batch 8 (the click is upsampler-compute-bound, not HBM-bound —
+    # docs/PERF.md round-4 attribution), so it is opt-in, not the default.
+    overrides["fuse_hr_head"] = bool(eval_cfg.get("fuse_hr_head", False))
     if dtype_name == "int8":
         # dynamic W8A8 backbone dense layers on the int8 MXU (ops/quant.py);
         # everything the int8 path does not cover runs bf16
@@ -192,9 +198,10 @@ def interpolate_backbone_pos_embed(model, params, config, target_size):
     new_config = dict(config)
     new_config["params"] = dict(config["params"], backbone_cfg=backbone_cfg)
     # carry the non-serialized compute knobs (model_config drops dtype, and
-    # quant was applied as a build override) — without these the rebuild
-    # silently reverted dtype/quant eval modes to the f32 float path
-    return build_model(new_config, dtype=model.dtype, quant=model.quant), params
+    # quant/fuse_hr_head were applied as build overrides) — without these the
+    # rebuild silently reverted dtype/quant/fusion eval modes
+    return build_model(new_config, dtype=model.dtype, quant=model.quant,
+                       fuse_hr_head=model.fuse_hr_head), params
 
 
 def main() -> None:
@@ -307,28 +314,32 @@ def main() -> None:
 
                 from isegprobe_tpu.inference.device_eval import (
                     evaluate_dataset_device,
-                    evaluate_dataset_refill,
                     make_device_evaluator,
                 )
 
                 device_batch = int(eval_cfg.get("device_batch", 1))
-                # device_refill: false | true/'device' (on-device job queue,
-                # one dispatch per group) | 'host' (chunked host-driven
-                # lane swaps) — identical results, different throughput
+                # device_refill: false | true/'device' (continuous batching:
+                # on-device job queue, one dispatch per same-shape group) —
+                # identical results to lockstep, higher trained-workload
+                # throughput. The round-3 'host' chunked-refill variant was
+                # removed: it measured 0.98x lockstep (BENCH_r03).
                 refill_raw = eval_cfg.get("device_refill", False)
                 if isinstance(refill_raw, str):
                     refill_raw = refill_raw.lower()
                     if refill_raw in ("false", "true", "0", "1"):
                         refill_raw = refill_raw in ("true", "1")
-                    elif refill_raw not in ("host", "device"):
+                    elif refill_raw == "host":
+                        raise ValueError(
+                            "device_refill=host was removed (it measured "
+                            "0.98x lockstep, BENCH_r03); use "
+                            "device_refill=true (on-device job queue)")
+                    elif refill_raw != "device":
                         raise ValueError(
                             f"device_refill={refill_raw!r} not recognized; "
-                            "use false, true/'device' (on-device job queue) "
-                            "or 'host' (chunked host-driven refill)")
+                            "use false or true/'device' (on-device job "
+                            "queue)")
                 device_refill = (
-                    "host" if refill_raw == "host"
-                    else "device" if refill_raw in (True, "device")
-                    else False)
+                    "device" if refill_raw in (True, "device") else False)
                 if device_refill and device_batch <= 1:
                     logger.warning(
                         "device_refill ignored: continuous batching "
@@ -336,31 +347,22 @@ def main() -> None:
                     device_refill = False
                 refill_devices = None
                 if device_refill and eval_cfg.get("device_mesh", False):
-                    if device_refill == "device":
-                        # the on-device job queue composes with multiple
-                        # chips the embarrassingly-parallel way: one queue
-                        # program per device, params replicated, zero
-                        # cross-chip sync (no Mesh object involved). With a
-                        # single visible device, skip the explicit placement
-                        # entirely (committed-device dispatch is pure
-                        # overhead there, and the tunnel-attached backend
-                        # mishandles it)
-                        import jax
+                    # the on-device job queue composes with multiple chips
+                    # the embarrassingly-parallel way: one queue program per
+                    # device, params replicated, zero cross-chip sync (no
+                    # Mesh object involved). With a single visible device,
+                    # skip the explicit placement entirely (committed-device
+                    # dispatch is pure overhead there, and the
+                    # tunnel-attached backend mishandles it)
+                    import jax
 
-                        refill_devices = jax.devices()
-                        if len(refill_devices) <= 1:
-                            logger.warning(
-                                "device_mesh=true with device_refill: only "
-                                "one device visible - running the "
-                                "single-device job queue")
-                            refill_devices = None
-                    else:
+                    refill_devices = jax.devices()
+                    if len(refill_devices) <= 1:
                         logger.warning(
-                            "device_refill=host ignored with device_mesh: "
-                            "the chunked host-refill path is single-chip; "
-                            "use device_refill=true (per-device job queues) "
-                            "or the lockstep mesh-sharded path")
-                        device_refill = False
+                            "device_mesh=true with device_refill: only "
+                            "one device visible - running the "
+                            "single-device job queue")
+                        refill_devices = None
                 mesh = None
                 if eval_cfg.get("device_mesh", False) and not device_refill:
                     # shard the sample axis over every chip (data axis);
@@ -397,9 +399,7 @@ def main() -> None:
                     with_flip=True, batch_size=device_batch, mesh=mesh,
                     trunk_cache=_normalize_trunk_cache(
                         eval_cfg.get("trunk_cache", "auto")),
-                    refill_api=device_refill == "host",
                     group_api=device_refill == "device",
-                    chunk_clicks=int(eval_cfg.get("chunk_clicks", 4)),
                 )
                 t0 = _time()
                 if device_refill == "device":
@@ -413,14 +413,6 @@ def main() -> None:
                         stats=refill_stats, devices=refill_devices,
                     )
                     logger.info(f"group-eval stats: {refill_stats}")
-                elif device_refill == "host":
-                    refill_stats = {}
-                    all_ious = evaluate_dataset_refill(
-                        run, params, dataset, sample_times=sample_times,
-                        stats=refill_stats,
-                        streams=int(eval_cfg.get("refill_streams", 3)),
-                    )
-                    logger.info(f"refill stats: {refill_stats}")
                 else:
                     all_ious = evaluate_dataset_device(
                         run, params, dataset, batch_size=device_batch,

@@ -47,20 +47,6 @@ from isegprobe_tpu.ops.sample import crop_resize, inverse_paste
 from isegprobe_tpu.utils.misc import stamped
 
 
-class _RefillEvaluator:
-    """Handle bundle for the continuous-batching eval API
-    (``make_device_evaluator(..., refill_api=True)``): jitted ``init`` /
-    ``step`` / ``refill`` / ``retire`` over the loop-state pytree."""
-
-    def __init__(self, init, step, refill, retire, batch_size, max_clicks):
-        self.init = init
-        self.step = step
-        self.refill = refill
-        self.retire = retire
-        self.batch_size = batch_size
-        self.max_clicks = max_clicks
-
-
 class _GroupEvaluator:
     """Handle for the on-device continuous-batching eval API
     (``make_device_evaluator(..., group_api=True)``): one jitted
@@ -135,8 +121,6 @@ def make_device_evaluator(
     batch_size: int = 1,
     mesh=None,
     trunk_cache: str = "auto",
-    refill_api: bool = False,
-    chunk_clicks: int = 4,
     group_api: bool = False,
 ):
     """Build a jitted ``run(params, image_pad, gt_pad, valid_hw)`` evaluating
@@ -180,12 +164,6 @@ def make_device_evaluator(
         trunk_cache == "on"
         or (trunk_cache == "auto" and injection == "after_backbone")
     )
-    if refill_api and chunk_clicks < 1:
-        raise ValueError(f"chunk_clicks must be >= 1, got {chunk_clicks} "
-                         "(a 0-click chunk would make the refill driver spin)")
-    if group_api and refill_api:
-        raise ValueError("group_api and refill_api are alternative "
-                         "continuous-batching modes; pick one")
     if group_api and batch_size <= 1:
         raise ValueError("group_api requires batch_size > 1")
     if group_api and mesh is not None:
@@ -201,7 +179,7 @@ def make_device_evaluator(
         repr(model), target_size, max_clicks, net_clicks_limit, pred_thr,
         target_iou, min_clicks, with_flip, roi_prob_thresh, expansion_ratio,
         min_crop_size, recompute_thresh_iou, batch_size, use_cache,
-        chunk_clicks, group_api,
+        group_api,
         # mesh-sharded and unsharded evaluators take identically-shaped
         # inputs and differ only in in_shardings — salt the mesh layout
         None if mesh is None else (tuple(mesh.axis_names),
@@ -516,9 +494,11 @@ def make_device_evaluator(
         return st["ious"], st["n"]
 
     # ---- on-device continuous batching (job queue inside the loop) --------
-    # The host-driven refill API below still pays a tunnel round-trip per
-    # chunk plus up to chunk_clicks-1 wasted lane-clicks per finished lane.
-    # Here the WHOLE job group ships to HBM up front and the compiled loop
+    # A host-driven lane-refill API existed through round 3 but measured
+    # 0.98x lockstep on the real workload (BENCH_r03: per-chunk tunnel
+    # round-trips + wasted intra-chunk lane-clicks ate the straggler win) —
+    # deleted in round 4 in favor of this path, where the WHOLE job group
+    # ships to HBM up front and the compiled loop
     # itself refills lanes: each click, lanes that just finished write their
     # results into a per-job output buffer and pull the next job from an
     # on-device counter — one dispatch per GROUP, zero host syncs, and a
@@ -578,8 +558,7 @@ def make_device_evaluator(
                         # poison refilled lanes' cached-trunk ROI so the next
                         # click's batch-global predicate recomputes the trunk
                         # (cost: one batched trunk per refill click for
-                        # late-injection configs; the host refill API instead
-                        # scatters a single-lane trunk from the host side)
+                        # late-injection configs)
                         out["trunk_roi"] = jnp.where(
                             take[:, None], -1, out["trunk_roi"])
                     q2 = dict(
@@ -605,80 +584,6 @@ def make_device_evaluator(
 
         return _GroupEvaluator(
             run=jax.jit(stamped(run_group, cfg_salt)),
-            batch_size=batch_size,
-            max_clicks=max_clicks,
-        )
-
-    # ---- continuous-batching API (lane-level refill) -----------------------
-    # The lockstep `run_batched` pays for stragglers: every lane computes
-    # until the SLOWEST lane in its batch finishes, so real-dataset
-    # throughput degrades by mean(n)/max(n) per batch. The refill API
-    # instead exposes the loop in resumable chunks so the host can swap a
-    # finished lane's state for a fresh sample between chunks — the
-    # interactive-segmentation analogue of continuous batching in LLM
-    # serving. Lanes are protocol-independent (the only batch-level
-    # decision, the trunk-recompute predicate, recomputes *values* that are
-    # identical either way), so per-sample trajectories are unchanged by
-    # batch composition (tests/test_refill_eval.py).
-
-    if refill_api:
-        if batch_size <= 1:
-            raise ValueError("refill_api requires batch_size > 1")
-        if mesh is not None:
-            # the refill driver's per-lane scatter updates are host-driven
-            # and single-chip; a mesh would be silently ignored below
-            raise ValueError("refill_api does not support mesh sharding; "
-                             "use the lockstep evaluator (refill_api=False) "
-                             "with mesh, or drop mesh for refill")
-
-        def refill_init(params, images, gts, valid_hws):
-            return _init_state(params, images, gts, valid_hws)
-
-        def refill_step(params, st):
-            # up to `chunk_clicks` clicks, stopping early if every lane is
-            # done — between chunks the host collects finished lanes and
-            # refills them with fresh samples
-            def cond(c):
-                return (c[0] < chunk_clicks) & _cond(c[1])
-
-            def body(c):
-                return c[0] + 1, _body(params, c[1])
-
-            _, st = jax.lax.while_loop(
-                cond, body, (jnp.asarray(0, jnp.int32), st))
-            return st
-
-        def refill_lane(params, st, lane, image, gt_pad, valid_hw):
-            """Replace one lane's state with a freshly-initialized sample."""
-            fresh = _init_lane(image, gt_pad, valid_hw)
-            out = dict(st)
-            for k, v in fresh.items():
-                out[k] = st[k].at[lane].set(v)
-            if use_cache:
-                # compute ONLY the fresh lane's trunk (full-frame ROI, same
-                # as _init_state) and scatter it in — poisoning trunk_roi
-                # instead would trip the batch-global recompute predicate on
-                # the next click and re-run every lane's trunk per refill
-                trunk = _batched_trunk(params, fresh["image"][None],
-                                       fresh["roi"][None])
-                out["trunk"] = st["trunk"].at[lane].set(trunk[0])
-                out["trunk_roi"] = st["trunk_roi"].at[lane].set(fresh["roi"])
-            return out
-
-        def retire_lane(st, lane):
-            """Freeze a lane permanently (no more jobs to assign)."""
-            return {**st, "done": st["done"].at[lane].set(True)}
-
-        # donate the big state pytree so step/refill update it in place on
-        # device (CPU ignores donation; skip there to keep tests warning-free)
-        on_cpu = jax.default_backend() == "cpu"
-        d1 = {} if on_cpu else {"donate_argnums": (1,)}
-        d0 = {} if on_cpu else {"donate_argnums": (0,)}
-        return _RefillEvaluator(
-            init=jax.jit(stamped(refill_init, cfg_salt)),
-            step=jax.jit(stamped(refill_step, cfg_salt), **d1),
-            refill=jax.jit(stamped(refill_lane, cfg_salt), **d1),
-            retire=jax.jit(stamped(retire_lane, cfg_salt), **d0),
             batch_size=batch_size,
             max_clicks=max_clicks,
         )
@@ -847,36 +752,6 @@ def evaluate_dataset_device(run_fn, params, dataset, depth: int = 2,
     return results
 
 
-class _RefillStream:
-    """One independent lane-state of the continuous-batching driver."""
-
-    __slots__ = ("st", "assigned", "t_start", "sync")
-
-    def __init__(self, st, assigned, t_start):
-        self.st = st
-        self.assigned = assigned  # lane -> order_idx
-        self.t_start = t_start  # lane -> submit wall time
-        self.sync = None  # arrays to fetch after the in-flight step
-
-
-def _start_host_copy(st):
-    """Begin the device→host transfer of the per-chunk sync arrays NOW (they
-    complete right after the in-flight step finishes on device), so the later
-    blocking fetch overlaps another stream's compute instead of serializing
-    behind it. Returns the array handles to fetch."""
-    arrs = (st["n"], st["done"], st["ious"])
-    for a in arrs:
-        try:
-            a.copy_to_host_async()
-        except (NotImplementedError, AttributeError):
-            # backend without async host copies: the blocking fetch later is
-            # still correct. Anything else (e.g. a donated/deleted buffer)
-            # must propagate — swallowing it would resurface as an opaque
-            # hang in another stream's fetch.
-            pass
-    return arrs
-
-
 def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
                            sample_times: Optional[list] = None,
                            stats: Optional[dict] = None,
@@ -888,8 +763,8 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
     One dispatch per same-shape job group: the whole group's padded frames
     ship to HBM up front and the compiled loop refills finished lanes from an
     on-device job counter (see ``make_device_evaluator``'s group_api block).
-    Compared to the host-driven refill driver this removes every per-chunk
-    tunnel round-trip AND the intra-chunk wasted lane-clicks — the only
+    Compared to the lockstep batched path this removes the straggler waste
+    (lanes idle until the batch's slowest sample finishes) — the only
     straggler cost left is the final drain when fewer jobs than lanes remain.
 
     Job counts are padded up to the next power of two (floored at
@@ -988,122 +863,5 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
         stats.update(
             dispatches=n_dispatch, batch_size=b, devices=len(devices),
             useful_clicks=sum(len(a) for a in results if a is not None),
-        )
-    return results
-
-
-def evaluate_dataset_refill(ev, params, dataset, bucket: int = 64,
-                            sample_times: Optional[list] = None,
-                            stats: Optional[dict] = None,
-                            streams: int = 2, prefetch: int = 4):
-    """Continuous-batching dataset evaluation (`refill_api=True` evaluator).
-
-    The lockstep batched path (`evaluate_dataset_device`, batch_size>1) runs
-    every lane of a batch until the batch's SLOWEST sample finishes — easy
-    samples (2-3 clicks) burn full forwards while a 20-click straggler
-    drains, so utilization is mean(n)/max(n) per batch. Here the compiled
-    loop runs in resumable `chunk_clicks`-click chunks; between chunks the
-    host collects finished lanes and swaps in fresh samples on-device
-    (`refill` scatters one lane's new state; the image upload is the same
-    data a fresh batch would ship). Per-sample trajectories are identical to
-    the lockstep and per-sample paths — lanes are protocol-independent —
-    so this changes throughput, never results (tests/test_refill_eval.py).
-
-    The driver is double-buffered: up to ``streams`` independent lane-states
-    run round-robin so one stream's chunk computes on device while the host
-    syncs scalars and dispatches refills for another — without this the chip
-    idles during every per-chunk host round-trip (the dominant cost on a
-    tunnel-attached chip, where a blocking fetch is ~10 ms). Each stream's
-    sync arrays start their device→host copy at dispatch time
-    (``copy_to_host_async``), and the next ``prefetch`` samples' uploads are
-    enqueued ahead of need so a refill's scatter never waits on the transfer.
-
-    Jobs are grouped by padded bucket shape (lanes of one state share a
-    static frame shape); refill happens within a group. Returns per-sample
-    iou arrays in dataset order; ``sample_times`` (a list) collects each
-    sample's submit→finish wall, including chunk-granularity waiting.
-    """
-    from collections import deque
-    from time import time as _time
-
-    jobs, by_shape = _build_jobs(dataset, bucket)
-    results = [None] * len(jobs)
-    b = ev.batch_size
-    n_chunks = n_refills = 0
-    for group in by_shape.values():
-        queue = deque(group)  # (order_idx, host_img, host_gt, host_hw)
-        # device-side prefetch of upcoming refill jobs: enqueue the
-        # host→device upload early so it rides behind compute, not in the
-        # refill dispatch's critical path
-        ready: deque = deque()
-
-        def _prefetch_fill():
-            while queue and len(ready) < max(1, prefetch):
-                oi, img, gt, hw = queue.popleft()
-                ready.append((oi, jnp.asarray(img), jnp.asarray(gt),
-                              jnp.asarray(hw)))
-
-        # spin up as many streams as the group can keep busy
-        n_streams = max(1, min(int(streams), -(-len(group) // b)))
-        live: deque = deque()
-        for _ in range(n_streams):
-            first = [queue.popleft() for _ in range(min(b, len(queue)))]
-            if not first:
-                break
-            fill = first + [first[-1]] * (b - len(first))  # duplicate-pad
-            st = ev.init(
-                params,
-                jnp.asarray(np.stack([j[1] for j in fill])),
-                jnp.asarray(np.stack([j[2] for j in fill])),
-                jnp.asarray(np.stack([j[3] for j in fill])),
-            )
-            t0 = _time()
-            stream = _RefillStream(
-                st,
-                {lane: fill[lane][0] for lane in range(len(first))},
-                {lane: t0 for lane in range(len(first))},
-            )
-            for lane in range(len(first), b):
-                stream.st = ev.retire(stream.st, lane)
-            # dispatch the first chunk (async) and start its sync copy
-            stream.st = ev.step(params, stream.st)
-            stream.sync = _start_host_copy(stream.st)
-            n_chunks += 1
-            live.append(stream)
-        _prefetch_fill()
-
-        while live:
-            s = live.popleft()
-            # blocks only until THIS stream's in-flight chunk is done; the
-            # other streams' chunks keep the chip busy meanwhile
-            n_b, done_b, ious_b = (np.asarray(a) for a in s.sync)
-            fin = [lane for lane in s.assigned
-                   if done_b[lane] or n_b[lane] >= ev.max_clicks]
-            now = _time()
-            for lane in fin:
-                results[s.assigned[lane]] = ious_b[lane][: int(n_b[lane])]
-                if sample_times is not None:
-                    sample_times.append(now - s.t_start[lane])
-                _prefetch_fill()
-                if ready:
-                    oi, img_d, gt_d, hw_d = ready.popleft()
-                    s.st = ev.refill(params, s.st, lane, img_d, gt_d, hw_d)
-                    n_refills += 1
-                    s.assigned[lane] = oi
-                    s.t_start[lane] = now
-                else:
-                    s.st = ev.retire(s.st, lane)
-                    del s.assigned[lane]
-                    del s.t_start[lane]
-            if s.assigned:
-                s.st = ev.step(params, s.st)
-                s.sync = _start_host_copy(s.st)
-                n_chunks += 1
-                live.append(s)
-    if stats is not None:
-        stats.update(
-            chunks=n_chunks, refills=n_refills, batch_size=b,
-            streams=streams, useful_clicks=sum(
-                len(a) for a in results if a is not None),
         )
     return results

@@ -186,7 +186,6 @@ def test_evaluate_main_device_refill(fixture_dataset, fixture_checkpoint,
             "device_loop=true",
             "device_batch=2",
             "device_refill=true",
-            "chunk_clicks=1",
             f"main_cfg_path={main_cfg_path}",
             f"logs_path={tmp_path / 'logs_refill'}",
         ],
@@ -203,12 +202,13 @@ def test_evaluate_main_device_refill(fixture_dataset, fixture_checkpoint,
     assert "GrabCut" in results
 
 
-@pytest.mark.parametrize("variant", ["host", "multidev"])
+@pytest.mark.parametrize("variant", ["multidev"])
 def test_evaluate_main_refill_variants(fixture_dataset, fixture_checkpoint,
                                        tmp_path, monkeypatch, variant):
-    """The other two continuous-batching CLI routes: device_refill=host
-    (chunked host-driven lane swaps) and device_refill=true + device_mesh=true
-    (one on-device job queue per device, jobs dealt round-robin)."""
+    """The multi-device continuous-batching CLI route: device_refill=true +
+    device_mesh=true (one on-device job queue per device, jobs dealt
+    round-robin). The round-3 device_refill=host variant was deleted
+    (0.98x lockstep, BENCH_r03) and now raises a pointer error."""
     repo = Path(__file__).resolve().parents[1]
     main_cfg = {
         "EXPS_PATH": str(tmp_path / "exps"),
@@ -219,9 +219,7 @@ def test_evaluate_main_refill_variants(fixture_dataset, fixture_checkpoint,
     main_cfg_path = tmp_path / "main_cfg.yaml"
     main_cfg_path.write_text(yaml.safe_dump(main_cfg))
 
-    extra = (["device_refill=host", "chunk_clicks=1", "refill_streams=2"]
-             if variant == "host"
-             else ["device_refill=true", "device_mesh=true"])
+    extra = ["device_refill=true", "device_mesh=true"]
     monkeypatch.chdir(repo)
     monkeypatch.setattr(
         sys, "argv",

@@ -149,9 +149,6 @@ def test_group_api_validation():
     model, params = _make_model("before_backbone")
     with pytest.raises(ValueError, match="batch_size"):
         make_device_evaluator(model, target_size=(56, 56), group_api=True)
-    with pytest.raises(ValueError, match="pick one"):
-        make_device_evaluator(model, target_size=(56, 56), batch_size=4,
-                              group_api=True, refill_api=True)
     from isegprobe_tpu.parallel.mesh import make_mesh
 
     with pytest.raises(ValueError, match="mesh"):

@@ -139,13 +139,15 @@ class Attention(nn.Module):
     quant: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, return_k: bool = False):
+    def __call__(self, x: jnp.ndarray, return_k: bool = False,
+                 key_mask: jnp.ndarray | None = None):
         b, n, c = x.shape
         dh = c // self.num_heads
         qkv = _dense(self.quant, 3 * c, self.qkv_bias, self.dtype,
                      name="qkv")(x)
         if return_k:
             # DINO key-probing needs k back: take the generic split path
+            assert key_mask is None, "return_k + key_mask not combined"
             t = qkv.reshape(b, n, 3, self.num_heads, dh)
             q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]  # [B, N, H, Dh]
             out = mha(q, k, v, scale=dh**-0.5, impl=self.attn_impl)
@@ -153,7 +155,7 @@ class Attention(nn.Module):
         else:
             # packed path: the fused kernel consumes qkv with one relayout
             out = mha_qkv(qkv, self.num_heads, scale=dh**-0.5,
-                          impl=self.attn_impl)
+                          impl=self.attn_impl, key_mask=key_mask)
             k = None
         out = _dense(self.quant, c, self.proj_bias, self.dtype,
                      name="proj")(out)
@@ -227,7 +229,8 @@ class Block(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, return_k: bool = False):
+    def __call__(self, x: jnp.ndarray, return_k: bool = False,
+                 key_mask: jnp.ndarray | None = None):
         c = self.cfg
         h = _ln(c, name="norm1")(x)
         attn = Attention(
@@ -237,7 +240,7 @@ class Block(nn.Module):
         if return_k:
             a, k = attn(h, return_k=True)
         else:
-            a, k = attn(h), None
+            a, k = attn(h, key_mask=key_mask), None
         if c.layerscale:
             a = LayerScale(c.embed_dim, c.layerscale_init, name="ls1")(a)
         x = x + a
@@ -307,6 +310,101 @@ class ViT(nn.Module):
     def embed_patches(self, img: jnp.ndarray) -> jnp.ndarray:
         """NHWC image -> patch tokens [B, N, D] (pre cls/pos)."""
         return self.patch_embed(img)
+
+    def dynamic_pos_embed(self, canvas_grid: tuple[int, int],
+                          valid_grid) -> jnp.ndarray:
+        """Pos embeddings interpolated to per-sample TRACED token grids,
+        laid out row-major on the STATIC canvas grid (zero beyond each
+        sample's valid rect). ``valid_grid``: [B, 2] int array. Replicates
+        ``interpolated_pos_embed``'s torch semantics — including the
+        exact-size short-circuit (the reference returns the raw table
+        untouched when the grid matches pretraining, reference:
+        core/model/featurizers/DINOv2.py:199-230). Returns [B, n_extra+N, D]
+        (f32)."""
+        from isegprobe_tpu.ops.dynamic_resize import dyn_matrix
+
+        c = self.cfg
+        gh0, gw0 = c.pretrain_grid
+        gh_cap, gw_cap = canvas_grid
+        pe = self.pos_embed.astype(jnp.float32)
+        n_extra = 1 if c.class_token else 0
+        extra, patch_pe = pe[:, :n_extra], pe[:, n_extra:]
+        patch_pe = patch_pe.reshape(gh0, gw0, c.embed_dim)
+
+        def one(vg):
+            gh, gw = vg[0], vg[1]
+            ghf = gh.astype(jnp.float32)
+            gwf = gw.astype(jnp.float32)
+            if c.interpolate_offset is not None:
+                scales = ((ghf + c.interpolate_offset) / gh0,
+                          (gwf + c.interpolate_offset) / gw0)
+            else:
+                scales = (ghf / gh0, gwf / gw0)
+            mr = dyn_matrix(gh0, gh_cap, gh0, gh, "bicubic", False, scales[0])
+            mc = dyn_matrix(gw0, gw_cap, gw0, gw, "bicubic", False, scales[1])
+            interp = jnp.einsum("oh,hwc->owc", mr, patch_pe)
+            interp = jnp.einsum("ow,hwc->hoc", mc, interp)
+            ii = jnp.arange(gh_cap)
+            jj = jnp.arange(gw_cap)
+            valid = (ii[:, None] < gh) & (jj[None, :] < gw)
+            # exact-size short-circuit: lay the raw table out instead
+            if gh0 <= gh_cap and gw0 <= gw_cap:
+                raw = jnp.zeros((gh_cap, gw_cap, c.embed_dim), jnp.float32)
+                raw = raw.at[:gh0, :gw0].set(patch_pe)
+                same = (gh == gh0) & (gw == gw0)
+                interp = jnp.where(same, raw, interp)
+            out = jnp.where(valid[:, :, None], interp, 0.0)
+            return out.reshape(gh_cap * gw_cap, c.embed_dim)
+
+        patch = jax.vmap(one)(jnp.asarray(valid_grid))  # [B, N, D]
+        b = patch.shape[0]
+        return jnp.concatenate(
+            [jnp.broadcast_to(extra, (b, n_extra, c.embed_dim)), patch],
+            axis=1)
+
+    def forward_tokens_masked(
+        self,
+        tokens: jnp.ndarray,
+        canvas_grid: tuple[int, int],
+        valid_grid,
+    ) -> dict:
+        """``forward_tokens`` on a static canvas grid whose top-left traced
+        per-sample (gh, gw) rect is valid (``valid_grid``: [B, 2]): pos
+        embeddings interpolate to each sample's dynamic grid, and invalid
+        tokens are excluded from every attention softmax, so valid tokens'
+        outputs equal running the plain ViT on the true
+        (gh*patch, gw*patch) image (tests/test_masked_vit.py).
+        Serving-path only (no remat, no key probing)."""
+        c = self.cfg
+        b = tokens.shape[0]
+        gh_cap, gw_cap = canvas_grid
+        vg = jnp.asarray(valid_grid)
+        ii = jnp.arange(gh_cap)
+        jj = jnp.arange(gw_cap)
+        patch_valid = ((ii[None, :, None] < vg[:, 0, None, None])
+                       & (jj[None, None, :] < vg[:, 1, None, None]))
+        patch_valid = patch_valid.reshape(b, gh_cap * gw_cap)
+        if c.class_token:
+            cls = jnp.broadcast_to(
+                self.cls_token.astype(tokens.dtype), (b, 1, c.embed_dim)
+            )
+            tokens = jnp.concatenate([cls, tokens], axis=1)
+            mask = jnp.concatenate(
+                [jnp.ones((b, 1), jnp.bool_), patch_valid], axis=1)
+        else:
+            mask = patch_valid
+        pe = self.dynamic_pos_embed(canvas_grid, vg)
+        x = tokens + pe.astype(tokens.dtype)
+        # numerical hygiene: invalid lanes carry conv-of-zeros + clamped pe
+        # taps; they are attention-masked anyway, but keep them bounded
+        x = x * mask[:, :, None].astype(x.dtype)
+        for blk in self.blocks:
+            x = blk(x, key_mask=mask)
+        x = self.norm(x)
+        return {
+            "tokens": x,
+            "patch_tokens": x[:, 1:] if c.class_token else x,
+        }
 
     def forward_tokens(
         self,

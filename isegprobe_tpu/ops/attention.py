@@ -32,16 +32,23 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["mha", "mha_qkv"]
 
 
-def _mha_jnp(q, k, v, scale):
+def _mha_jnp(q, k, v, scale, key_mask=None):
     """Reference path: q,k,v [B, N, H, Dh] -> [B, N, H, Dh], f32 softmax.
 
     Matmuls run at the INPUT dtype with f32 accumulation: HIGHEST precision
     on bf16 inputs would upcast the MXU to f32 throughput (~8x slower on
-    v5e); f32 inputs keep HIGHEST for exact parity."""
+    v5e); f32 inputs keep HIGHEST for exact parity.
+
+    ``key_mask`` [B, N] (bool/0-1): keys with mask 0 are excluded from every
+    query's softmax (adaptive-canvas eval: tokens outside the valid grid
+    must not influence valid tokens — inference/adaptive_eval.py)."""
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
             else jax.lax.Precision.DEFAULT)
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=prec,
                    preferred_element_type=jnp.float32) * scale
+    if key_mask is not None:
+        bias = jnp.where(key_mask.astype(jnp.bool_), 0.0, -1e30)
+        s = s + bias[:, None, None, :].astype(s.dtype)
     p = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v, precision=prec,
                      preferred_element_type=jnp.float32)
@@ -199,11 +206,12 @@ def _mha_qkv_pallas_ad(qkv, num_heads, scale, interpret=False):
     return _mha_qkv_route(qkv, num_heads, scale, interpret)
 
 
-def _mha_qkv_jnp(qkv, num_heads, scale):
+def _mha_qkv_jnp(qkv, num_heads, scale, key_mask=None):
     b, n, three_c = qkv.shape
     c = three_c // 3
     t = qkv.reshape(b, n, 3, num_heads, c // num_heads)
-    out = _mha_jnp(t[:, :, 0], t[:, :, 1], t[:, :, 2], scale)
+    out = _mha_jnp(t[:, :, 0], t[:, :, 1], t[:, :, 2], scale,
+                   key_mask=key_mask)
     return out.reshape(b, n, c)
 
 
@@ -225,6 +233,7 @@ def mha_qkv(
     num_heads: int,
     scale: float | None = None,
     impl: str = "auto",
+    key_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Self-attention over a PACKED [B, N, 3·C] qkv tensor -> [B, N, C].
 
@@ -232,12 +241,19 @@ def mha_qkv(
     ``mha`` — but the pallas path consumes the packed tensor with ONE
     relayout instead of four (docstring of _mha_qkv_pallas). ``auto``
     follows mha's measured policy (jnp at small scale / f32, fused kernel
-    for big-bf16 or long sequences)."""
+    for big-bf16 or long sequences).
+
+    ``key_mask`` [B, N]: exclude masked keys from every softmax (the
+    adaptive-canvas dynamic-grid eval). Routed to the jnp path — the fused
+    kernels don't take a mask, and the masked mode's token counts are far
+    below their profitability threshold anyway."""
     b, n, three_c = qkv.shape
     c = three_c // 3
     dh = c // num_heads
     if scale is None:
         scale = dh**-0.5
+    if key_mask is not None:
+        return _mha_qkv_jnp(qkv, num_heads, scale, key_mask=key_mask)
     if impl == "auto":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         score_bytes = 4 * b * num_heads * n * n

@@ -95,10 +95,12 @@ def get_zoomin_params(eval_cfg, dataset_name):
     """(reference: core/inference/utils.py:292-320)"""
     if eval_cfg.get("eval_ritm", False):
         # RITM protocol: adaptive ZoomIn (reference skip_clicks default 1)
-        # at the RITM crop sizes; fixed modes stay fixed
+        # at the RITM SCALAR targets — aspect-preserving crops of
+        # data-dependent size (reference utils.py:292-295; through round 3
+        # this framework silently squared them to (size, size))
         if eval_cfg.eval_mode == "cvpr":
             size = 600 if dataset_name == "DAVIS" else 400
-            return {"skip_clicks": 1, "target_size": (size, size)}
+            return {"skip_clicks": 1, "target_size": size}
         if eval_cfg.eval_mode.startswith("fixed"):
             return {"skip_clicks": -1,
                     "target_size": _parse_fixed_mode(eval_cfg.eval_mode)}
@@ -249,9 +251,10 @@ def main() -> None:
         zoomin_params = get_zoomin_params(eval_cfg, dataset_name)
 
         for checkpoint_path in checkpoints_list:
+            _ts = zoomin_params["target_size"]
             model, params = load_model_for_eval(
                 checkpoint_path, eval_cfg,
-                target_size=zoomin_params["target_size"])
+                target_size=(_ts, _ts) if isinstance(_ts, int) else _ts)
             from isegprobe_tpu.inference.brs import get_predictor
 
             predictor = get_predictor(
@@ -289,12 +292,18 @@ def main() -> None:
             use_device_loop = (
                 eval_cfg.get("device_loop", False) and eval_cfg.mode == "NoBRS"
             )
-            if use_device_loop and zoomin_params.get("skip_clicks", -1) >= 0:
-                # the compiled loop's ROI state machine models the fixed /
-                # SimpleClick-style ZoomIn; RITM's click-skipping variant
-                # runs on the host per-click path
+            # RITM adaptive mode: skip_clicks >= 0 with a SCALAR target —
+            # compiled by the adaptive canvas evaluator (round 4; before
+            # that the device loop only modeled the fixed-crop ZoomIn)
+            adaptive_device = (
+                use_device_loop
+                and zoomin_params.get("skip_clicks", -1) >= 0
+                and isinstance(zoomin_params["target_size"], int)
+            )
+            if (use_device_loop and not adaptive_device
+                    and zoomin_params.get("skip_clicks", -1) >= 0):
                 logger.info(
-                    "skip_clicks>=0 (eval_ritm): falling back from "
+                    "skip_clicks>=0 with a fixed target: falling back from "
                     "device_loop to the host per-click path"
                 )
                 use_device_loop = False
@@ -390,17 +399,42 @@ def main() -> None:
                         from isegprobe_tpu.parallel.mesh import make_mesh
 
                         mesh = make_mesh()
-                run = make_device_evaluator(
-                    model, target_size=zoomin_params["target_size"],
-                    max_clicks=eval_cfg.n_clicks,
-                    net_clicks_limit=eval_cfg.clicks_limit or eval_cfg.n_clicks,
-                    pred_thr=eval_cfg.thresh, target_iou=eval_cfg.target_iou,
-                    min_clicks=eval_cfg.min_n_clicks,
-                    with_flip=True, batch_size=device_batch, mesh=mesh,
-                    trunk_cache=_normalize_trunk_cache(
-                        eval_cfg.get("trunk_cache", "auto")),
-                    group_api=device_refill == "device",
-                )
+                if adaptive_device:
+                    if device_refill or mesh is not None:
+                        logger.warning(
+                            "adaptive (RITM cvpr) device eval is lockstep "
+                            "single-chip; ignoring device_refill/device_mesh")
+                        device_refill = False
+                    from isegprobe_tpu.inference.adaptive_eval import (
+                        make_adaptive_runner,
+                    )
+
+                    run = make_adaptive_runner(
+                        model, target_size=zoomin_params["target_size"],
+                        batch_size=device_batch,
+                        max_clicks=eval_cfg.n_clicks,
+                        net_clicks_limit=(eval_cfg.clicks_limit
+                                          or eval_cfg.n_clicks),
+                        pred_thr=eval_cfg.thresh,
+                        target_iou=eval_cfg.target_iou,
+                        min_clicks=eval_cfg.min_n_clicks,
+                        with_flip=True,
+                        skip_clicks=zoomin_params["skip_clicks"],
+                    )
+                else:
+                    run = make_device_evaluator(
+                        model, target_size=zoomin_params["target_size"],
+                        max_clicks=eval_cfg.n_clicks,
+                        net_clicks_limit=(eval_cfg.clicks_limit
+                                          or eval_cfg.n_clicks),
+                        pred_thr=eval_cfg.thresh,
+                        target_iou=eval_cfg.target_iou,
+                        min_clicks=eval_cfg.min_n_clicks,
+                        with_flip=True, batch_size=device_batch, mesh=mesh,
+                        trunk_cache=_normalize_trunk_cache(
+                            eval_cfg.get("trunk_cache", "auto")),
+                        group_api=device_refill == "device",
+                    )
                 t0 = _time()
                 if device_refill == "device":
                     from isegprobe_tpu.inference.device_eval import (

@@ -493,6 +493,33 @@ def get_predictor(
 
     if brs_mode == "NoBRS":
         predictor_params_.pop("optimize_after_n_clicks", None)
+        if isinstance(zoom_kwargs.get("target_size"), int):
+            # SCALAR RITM target (eval_ritm + cvpr, reference
+            # utils.py:292-295): aspect-preserving adaptive crops produce
+            # data-dependent shapes — serve through the host transform-chain
+            # predictor (one compiled forward per crop shape); the compiled
+            # whole-protocol path is inference/adaptive_eval.py
+            if click_models:
+                raise NotImplementedError(
+                    "click-model ensembles + scalar adaptive ZoomIn")
+            from isegprobe_tpu.inference.predictor import (
+                TransformChainPredictor,
+            )
+            from isegprobe_tpu.inference.transforms import (
+                AddHorizontalFlip,
+                SigmoidForPred,
+                ZoomIn,
+            )
+
+            chain = [ZoomIn(**zoom_kwargs)]
+            if with_flip:
+                chain.append(AddHorizontalFlip())
+            chain.append(SigmoidForPred())
+            return TransformChainPredictor(
+                model, params, transforms=chain,
+                net_clicks_limit=predictor_params_.get(
+                    "net_clicks_limit", 20),
+            )
         return TPUPredictor(model, params, with_flip=with_flip,
                             click_models=click_models, **zoom_kwargs,
                             **predictor_params_)

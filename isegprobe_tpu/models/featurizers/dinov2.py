@@ -87,3 +87,28 @@ class DINOv2Featurizer(nn.Module):
                 )
 
         return feats.reshape(b, gh, gw, self.embed_dim)
+
+    def masked_forward(
+        self,
+        x: jnp.ndarray,
+        additional_features: jnp.ndarray | None,
+        valid_grid: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Canvas forward with per-sample traced valid token grids
+        (``valid_grid`` [B, 2]) — the adaptive-ZoomIn compiled eval
+        (inference/adaptive_eval.py). Valid-rect outputs equal ``__call__``
+        on the true-size image (ViT.forward_tokens_masked)."""
+        b, h, w, _ = x.shape
+        p = self.patch_size
+        gh_cap, gw_cap = h // p, w // p
+        mode = self.feats_injection_mode
+
+        tokens = self.model.embed_patches(x)
+        if additional_features is not None and mode == "before_backbone":
+            tokens = tokens + additional_features.astype(tokens.dtype)
+        feats = self.model.forward_tokens_masked(
+            tokens, (gh_cap, gw_cap), valid_grid)["patch_tokens"]
+        if additional_features is not None and mode == "after_backbone":
+            feats = feats.astype(jnp.float32) + additional_features.astype(
+                jnp.float32)
+        return feats.reshape(b, gh_cap, gw_cap, self.embed_dim)

@@ -45,6 +45,9 @@ class SimpleClassifierHead(nn.Module):
     def banded(self, x: jnp.ndarray, in_frame: jnp.ndarray) -> jnp.ndarray:
         return self.classifier(x)
 
+    def masked(self, x: jnp.ndarray, valid_hw: jnp.ndarray) -> jnp.ndarray:
+        return self.classifier(x)  # pointwise
+
 
 class SimpleConvSegHead(nn.Module):
     """'simple_conv': N 1x1 conv+ReLU layers, then the classifier."""
@@ -73,6 +76,9 @@ class SimpleConvSegHead(nn.Module):
     def banded(self, x: jnp.ndarray, in_frame: jnp.ndarray) -> jnp.ndarray:
         return self(x)  # pointwise: rows are independent, halo-free
 
+    def masked(self, x: jnp.ndarray, valid_hw: jnp.ndarray) -> jnp.ndarray:
+        return self(x)  # pointwise
+
 
 class ConvSegHead(nn.Module):
     """'convhead': N 3x3 conv+ReLU layers, then the classifier — the head used
@@ -99,6 +105,22 @@ class ConvSegHead(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for conv in self.convs:
             x = nn.relu(conv(x))
+        return self.classifier(x)
+
+    def masked(self, x: jnp.ndarray, valid_hw: jnp.ndarray) -> jnp.ndarray:
+        """Adaptive-canvas head: x [B, H, W, C] with per-sample traced valid
+        rects ``valid_hw`` [B, 2]. Out-of-rect values are zeroed before
+        every 3x3 conv so each conv sees the zero padding a true (vh, vw)
+        input would have at its frame edge — valid-rect outputs are exact
+        (inference/adaptive_eval.py)."""
+        ii = jnp.arange(x.shape[1])
+        jj = jnp.arange(x.shape[2])
+        m = ((ii[None, :, None] < valid_hw[:, 0, None, None])
+             & (jj[None, None, :] < valid_hw[:, 1, None, None]))
+        m = m[..., None].astype(x.dtype)
+        x = x * m
+        for conv in self.convs:
+            x = nn.relu(conv(x)) * m
         return self.classifier(x)
 
     def banded(self, x: jnp.ndarray, in_frame: jnp.ndarray) -> jnp.ndarray:

@@ -346,6 +346,76 @@ class iSegProbeModel(nn.Module):
         out = resize(out, (h, w), "bilinear", align_corners=True)
         return {"instances": out, "instances_aux": None}
 
+    # -- adaptive-canvas forward (RITM adaptive ZoomIn, VERDICT r3 #6) ------
+
+    def forward_masked(self, image: jnp.ndarray, points: jnp.ndarray,
+                       valid_hw: jnp.ndarray) -> Dict:
+        """Forward on a static canvas whose top-left per-sample traced
+        (vh, vw) rect is valid — the compiled stand-in for the reference's
+        data-dependent adaptive-ZoomIn crop sizes (zoom_in.py:228-253).
+        image: [B, Hc, Wc, 3/4]; valid_hw: [B, 2] int. Returns full-canvas
+        logits whose valid rect equals running ``__call__`` on the true
+        (vh, vw) input (tests/test_adaptive_eval.py).
+
+        Supported families: ViT featurizers exposing ``masked_forward``
+        (dinov2/vit), identity/bilinear upsamplers, heads with ``masked``.
+        """
+        from isegprobe_tpu.ops.dynamic_resize import dyn_resize_2d_batched
+
+        if not hasattr(self.backbone, "masked_forward"):
+            raise NotImplementedError(
+                f"adaptive-canvas eval is not implemented for backbone "
+                f"type {self.backbone_cfg['type']!r}")
+        if self.upsampler_type not in ("identity", "bilinear"):
+            raise NotImplementedError(
+                f"adaptive-canvas eval supports identity/bilinear "
+                f"upsamplers; got {self.upsampler_type!r}")
+
+        hc, wc = image.shape[1], image.shape[2]
+        image, prev_mask = self.prepare_input(image)
+        coords = self.get_coord_features(image, prev_mask, points)
+        # the disk-map formula emits values outside the valid rect too —
+        # zero them so every conv consuming the maps (maps_transform,
+        # embed_coords patch conv) sees the zero padding a true-size input
+        # would have
+        vhw = jnp.asarray(valid_hw)
+        ii = jnp.arange(hc)
+        jj = jnp.arange(wc)
+        pix_valid = ((ii[None, :, None] < vhw[:, 0, None, None])
+                     & (jj[None, None, :] < vhw[:, 1, None, None]))
+        coords = coords * pix_valid[..., None].astype(coords.dtype)
+
+        if self.maps_transform is not None:
+            # RITM transform (1x1 conv -> relu -> 3x3 stride-2 -> scale,
+            # eval_ritm configs): the stride-2 conv sees the zeroed
+            # out-of-rect region exactly like a true-size input's zero
+            # padding; the valid rect halves (ceil, torch stride-2 output
+            # size) and is re-zeroed for the embed conv
+            coords = self.maps_transform(coords)
+            half = (vhw + 1) // 2
+            hh, wh = coords.shape[1], coords.shape[2]
+            i2 = jnp.arange(hh)
+            j2 = jnp.arange(wh)
+            m2 = ((i2[None, :, None] < half[:, 0, None, None])
+                  & (j2[None, None, :] < half[:, 1, None, None]))
+            coords = coords * m2[..., None].astype(coords.dtype)
+        coord_tokens = self.embed_coords(coords)
+
+        p = getattr(self.backbone, "patch_size", 14)
+        vg = vhw // p
+        feats = self.backbone.masked_forward(image, coord_tokens, vg)
+
+        if self.upsampler_type == "bilinear":
+            feats = dyn_resize_2d_batched(feats, vg, vhw, (hc, wc),
+                                          "bilinear", align_corners=True)
+            out = self.head.masked(feats, vhw)
+            return {"instances": out, "instances_aux": None}
+
+        out = self.head.masked(feats, vg)
+        out = dyn_resize_2d_batched(out, vg, vhw, (hc, wc),
+                                    "bilinear", align_corners=True)
+        return {"instances": out, "instances_aux": None}
+
     def get_lowres_highres_feats(self, image, points) -> Tuple[Dict, Dict]:
         """Feature-probe path (reference: iseg_probe_model.py:136-174)."""
         image, prev_mask = self.prepare_input(image)

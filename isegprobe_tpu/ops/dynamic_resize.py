@@ -125,3 +125,23 @@ def dyn_resize_2d(
     x = x.astype(jnp.float32)
     x = jnp.einsum("oh,...hwc->...owc", mr, x)
     return jnp.einsum("ow,...hwc->...hoc", mc, x)
+
+
+def dyn_resize_2d_batched(
+    x: jnp.ndarray,
+    in_hw: jnp.ndarray,
+    out_hw: jnp.ndarray,
+    out_cap_hw: tuple[int, int],
+    mode: str = "bilinear",
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Per-sample dynamic resize: x [B, Hc, Wc, C] with per-sample valid
+    rects ``in_hw`` [B, 2] -> [B, out_cap_h, out_cap_w, C] with valid rects
+    ``out_hw`` [B, 2]."""
+    import jax
+
+    def one(xi, ihw, ohw):
+        return dyn_resize_2d(xi, (ihw[0], ihw[1]), (ohw[0], ohw[1]),
+                             out_cap_hw, mode, align_corners)
+
+    return jax.vmap(one)(x, jnp.asarray(in_hw), jnp.asarray(out_hw))

@@ -1,0 +1,149 @@
+"""Adaptive-canvas model forward vs the plain forward on the true-size input.
+
+``iSegProbeModel.forward_masked`` is the compiled stand-in for the RITM
+adaptive ZoomIn's data-dependent crop sizes (VERDICT r3 #6; reference:
+core/inference/transforms/zoom_in.py:228-253): the model runs on a static
+canvas whose per-sample traced (vh, vw) rect is valid, and the valid-rect
+logits must equal running the ordinary forward on the actual (vh, vw) image.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isegprobe_tpu.models.probe_model import iSegProbeModel
+
+CANVAS = (112, 112)
+
+
+def _model(upsampler="identity"):
+    return iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=CANVAS, patch_size=(14, 14), embed_dim=384)),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=2,
+                                  num_classes=1)),
+        upsampler_cfg=dict(type=upsampler, params=dict()),
+        use_disks=True, norm_radius=5, with_prev_mask=True, attn_impl="jnp",
+    )
+
+
+@pytest.mark.parametrize("upsampler", ["identity", "bilinear"])
+def test_forward_masked_matches_true_size(upsampler):
+    model = _model(upsampler)
+    rng = np.random.default_rng(5)
+    image = jnp.zeros((1, *CANVAS, 4), jnp.float32)
+    points = jnp.full((1, 8, 3), -1.0, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), image, points)["params"]
+
+    sizes = [(98, 70), (112, 112), (59, 101)]
+    canvas = np.zeros((len(sizes), *CANVAS, 4), np.float32)
+    pts = np.full((len(sizes), 8, 3), -1.0, np.float32)
+    wants = []
+    for i, (vh, vw) in enumerate(sizes):
+        img = rng.random((1, vh, vw, 4), dtype=np.float32)
+        canvas[i, :vh, :vw] = img[0]
+        pts[i, 0] = [vh * 0.4, vw * 0.6, 0]
+        pts[i, 4] = [vh * 0.8, vw * 0.2, 1]
+        want = model.apply({"params": params}, jnp.asarray(img),
+                           jnp.asarray(pts[i:i + 1]))["instances"]
+        wants.append(np.asarray(want)[0])
+
+    vhw = jnp.asarray(sizes, jnp.int32)
+    got = model.apply({"params": params}, jnp.asarray(canvas),
+                      jnp.asarray(pts), vhw,
+                      method=iSegProbeModel.forward_masked)["instances"]
+    got = np.asarray(got)
+    for i, (vh, vw) in enumerate(sizes):
+        np.testing.assert_allclose(
+            got[i, :vh, :vw], wants[i], rtol=2e-4, atol=2e-4,
+            err_msg=f"sample {i} size {(vh, vw)}")
+
+
+def test_adaptive_device_matches_host_protocol():
+    """The compiled adaptive evaluator must walk the same clicks to the same
+    IoUs as the host protocol (TransformChainPredictor over the parity-twin
+    ZoomIn transform with a SCALAR target + skip_clicks=1 — the RITM cvpr
+    mode, reference: core/inference/utils.py:292-295)."""
+    from isegprobe_tpu.inference.adaptive_eval import make_adaptive_evaluator
+    from isegprobe_tpu.inference.evaluation import evaluate_sample
+    from isegprobe_tpu.inference.predictor import TransformChainPredictor
+    from isegprobe_tpu.inference.transforms import (
+        AddHorizontalFlip,
+        SigmoidForPred,
+        ZoomIn,
+    )
+
+    model = _model("identity")
+    image0 = jnp.zeros((1, *CANVAS, 4), jnp.float32)
+    points0 = jnp.full((1, 8, 3), -1.0, jnp.float32)
+    params = model.init(jax.random.PRNGKey(2), image0, points0)["params"]
+
+    T = 56
+    max_clicks = 6
+    rng = np.random.default_rng(17)
+
+    def scene(h, w, seed):
+        r = np.random.default_rng(seed)
+        img = (r.random((h, w, 3)) * 70).astype(np.uint8)
+        gt = np.zeros((h, w), np.int32)
+        gt[h // 4: 2 * h // 3, w // 5: 3 * w // 4] = 1
+        img[gt == 1] = [180, 160, 90]
+        return img, gt
+
+    run = make_adaptive_evaluator(
+        model, target_size=T, frame_hw=CANVAS, max_clicks=max_clicks,
+        net_clicks_limit=4, pred_thr=0.49, target_iou=0.95, with_flip=True,
+        skip_clicks=1, min_crop_size=24,
+    )
+
+    for h, w, seed in [(98, 84, 0), (70, 112, 5)]:
+        img, gt = scene(h, w, seed)
+
+        host = TransformChainPredictor(
+            model, params,
+            transforms=[
+                ZoomIn(target_size=T, skip_clicks=1, min_crop_size=24),
+                AddHorizontalFlip(),
+                SigmoidForPred(),
+            ],
+            net_clicks_limit=4,
+        )
+        _, host_ious, _ = evaluate_sample(
+            img, gt, host, max_iou_thr=0.95, pred_thr=0.49,
+            max_clicks=max_clicks)
+
+        # device: pad into the static frame
+        img_pad = np.zeros((*CANVAS, 3), np.uint8)
+        img_pad[:h, :w] = img
+        gt_pad = np.zeros(CANVAS, np.int8)
+        gt_pad[:h, :w] = gt
+        ious_dev, n_dev = run(params, jnp.asarray(img_pad),
+                              jnp.asarray(gt_pad),
+                              jnp.asarray([h, w], jnp.int32))
+        ious_dev = np.asarray(ious_dev)[: int(n_dev)]
+
+        assert len(ious_dev) == len(host_ious), (
+            f"click counts diverge: device {len(ious_dev)} vs host "
+            f"{len(host_ious)} ({host_ious} vs {ious_dev})")
+        np.testing.assert_allclose(ious_dev, host_ious, atol=5e-3,
+                                   err_msg=f"scene {(h, w, seed)}")
+
+
+def test_forward_masked_unsupported_raises():
+    model = _model()
+    import dataclasses
+
+    m2 = dataclasses.replace(model, upsampler_cfg=dict(type="bicubic",
+                                                       params=dict()))
+    image = jnp.zeros((1, *CANVAS, 4), jnp.float32)
+    points = jnp.full((1, 8, 3), -1.0, jnp.float32)
+    params = m2.init(jax.random.PRNGKey(0), image, points)["params"]
+    with pytest.raises(NotImplementedError, match="identity/bilinear"):
+        m2.apply({"params": params}, image, points,
+                 jnp.asarray([[112, 112]]),
+                 method=iSegProbeModel.forward_masked)

@@ -2,6 +2,7 @@
 dataset -> NoC table; plus the train.py config plumbing."""
 
 import subprocess
+import os
 import sys
 from pathlib import Path
 
@@ -526,12 +527,93 @@ def test_evaluate_eval_ritm_config_effects(fixture_checkpoint, monkeypatch):
         def __getattr__(self, k):
             return self[k]
 
+    # SCALAR targets: aspect-preserving adaptive crops (reference
+    # utils.py:292-295 — round 4 fixed the (size, size) squaring delta)
     zp = evaluate.get_zoomin_params(
         _EC(eval_mode="cvpr", eval_ritm=True), "GrabCut")
-    assert zp == {"skip_clicks": 1, "target_size": (400, 400)}
+    assert zp == {"skip_clicks": 1, "target_size": 400}
     zp = evaluate.get_zoomin_params(
         _EC(eval_mode="cvpr", eval_ritm=True), "DAVIS")
-    assert zp == {"skip_clicks": 1, "target_size": (600, 600)}
+    assert zp == {"skip_clicks": 1, "target_size": 600}
     zp = evaluate.get_zoomin_params(
         _EC(eval_mode="fixed400", eval_ritm=True), "GrabCut")
     assert zp == {"skip_clicks": -1, "target_size": (400, 400)}
+
+
+def test_evaluate_main_adaptive_cvpr_device(fixture_dataset, tmp_path,
+                                            monkeypatch, tmp_path_factory):
+    """eval_ritm + eval_mode=cvpr + device_loop: the compiled adaptive
+    (RITM) ZoomIn protocol through the CLI, with an RITM-style fixture
+    (use_rgb_conv stride-2 maps_transform + patch-7 click embed so the
+    half-res coordinate grid matches the backbone grid)."""
+    import jax
+
+    from isegprobe_tpu.models.probe_model import (
+        filter_state_dict,
+        iSegProbeModel,
+    )
+    from isegprobe_tpu.utils.serialization import (
+        model_config,
+        save_checkpoint,
+    )
+
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(112, 112), patch_size=(7, 7),
+                        embed_dim=384)),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1,
+                                  num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        save_cfg=dict(embed_coords=True, backbone=False, upsampler=False,
+                      head=True),
+        use_disks=True, norm_radius=5, with_prev_mask=True,
+        use_rgb_conv=True, attn_impl="jnp",
+    )
+    image = np.zeros((1, 112, 112, 4), dtype=np.float32)
+    points = np.full((1, 4, 3), -1.0, dtype=np.float32)
+    params = model.init(jax.random.PRNGKey(0), image, points)["params"]
+    ckpt = tmp_path_factory.mktemp("ritm_ckpt") / "ritm.ckpt"
+    save_checkpoint(params, model_config(model), ckpt)
+
+    repo = Path(__file__).resolve().parents[1]
+    main_cfg = {
+        "EXPS_PATH": str(tmp_path / "exps"),
+        "INTERACTIVE_MODELS_PATH": str(tmp_path),
+        "DATASETS": {"GRABCUT_PATH": str(fixture_dataset)},
+        "UPSAMPLERS": {},
+    }
+    main_cfg_path = tmp_path / "main_cfg.yaml"
+    main_cfg_path.write_text(yaml.safe_dump(main_cfg))
+
+    monkeypatch.chdir(repo)
+    monkeypatch.setattr(
+        sys, "argv",
+        [
+            "evaluate.py",
+            f"checkpoint={ckpt}",
+            "datasets=GrabCut",
+            "eval_mode=cvpr",
+            "eval_ritm=true",
+            "n_clicks=2",
+            "target_iou=0.9",
+            "print_ious=false",
+            "iou_analysis=false",
+            "device_loop=true",
+            f"main_cfg_path={main_cfg_path}",
+            f"logs_path={tmp_path / 'logs_adaptive'}",
+        ],
+    )
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "isegprobe_evaluate_cli_adaptive", repo / "evaluate.py"
+    )
+    evaluate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(evaluate)
+    evaluate.main()
+    results = (tmp_path / "logs_adaptive" / "results.txt").read_text()
+    assert "GrabCut" in results

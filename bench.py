@@ -315,15 +315,19 @@ def measure_train(batch_size: int = 16, dtype=None, device_steps: int = 8):
         return trainer._train_step(params, opt_state, batch, rng, 3, 0.4,
                                    0.025, click_trees=())
 
+    # walls must force a HOST FETCH of a value that depends on the step:
+    # block_until_ready does not reliably block on the axon backend
+    # (docs/PARITY.md measurement note). The loss scalar serializes on the
+    # whole step chain (params feed forward).
     params, opt_state, *rest = one(params, opt_state)  # compile
-    jax.block_until_ready(rest)
+    float(rest[0])
     for _ in range(2):  # warmup
         params, opt_state, *rest = one(params, opt_state)
-    jax.block_until_ready(rest)
+    float(rest[0])
     t0 = time.perf_counter()
     for _ in range(device_steps):
         params, opt_state, *rest = one(params, opt_state)
-    jax.block_until_ready((params, rest))
+    float(rest[0])
     device_ms = (time.perf_counter() - t0) / device_steps * 1000
     trainer.params, trainer.opt_state = params, opt_state
 

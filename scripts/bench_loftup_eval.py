@@ -28,15 +28,24 @@ CKPT = Path(__file__).resolve().parents[1] / "assets" / "trained" / \
     "synthetic_dinov2_loftup448_160ep.ckpt"
 
 
-def _time(fn, *args, warmup=2, repeats=5):
+def _fetch(x):
+    """Force a host fetch of a tiny scalar derived from the output —
+    block_until_ready does not reliably block on the axon backend
+    (docs/PARITY.md measurement note)."""
     import jax
 
+    leaf = jax.tree.leaves(x)[0]
+    return float(jax.numpy.sum(leaf[(0,) * (leaf.ndim - 1)]
+                               .astype(jax.numpy.float32)))
+
+
+def _time(fn, *args, warmup=2, repeats=5):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _fetch(fn(*args))
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _fetch(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts) * 1000)
 
@@ -94,7 +103,8 @@ def main():
         return model.apply({"params": p}, img, pts, method=run)
 
     a_fn = jax.jit(stamped(stage_a, salt))
-    lr_feats = jax.block_until_ready(a_fn(params, image, points))
+    lr_feats = a_fn(params, image, points)
+    _fetch(lr_feats)
     ms_a = _time(a_fn, params, image, points)
 
     # ---- stage B: upsampler --------------------------------------------
@@ -105,7 +115,8 @@ def main():
         return model.apply({"params": p}, feats, img, method=run)
 
     b_fn = jax.jit(stamped(stage_b, salt))
-    hr_feats = jax.block_until_ready(b_fn(params, lr_feats, image))
+    hr_feats = b_fn(params, lr_feats, image)
+    _fetch(hr_feats)
     ms_b = _time(b_fn, params, lr_feats, image)
 
     # ---- stage C: head --------------------------------------------------
@@ -114,7 +125,7 @@ def main():
                            method=lambda m, f: m.head(f))
 
     c_fn = jax.jit(stamped(stage_c, salt))
-    jax.block_until_ready(c_fn(params, hr_feats))
+    _fetch(c_fn(params, hr_feats))
     ms_c = _time(c_fn, params, hr_feats)
 
     # ---- stage D: full forward -----------------------------------------
@@ -122,7 +133,7 @@ def main():
         return model.apply({"params": p}, img, pts)["instances"]
 
     d_fn = jax.jit(stamped(stage_d, salt_d))
-    jax.block_until_ready(d_fn(params, image, points))
+    _fetch(d_fn(params, image, points))
     ms_d = _time(d_fn, params, image, points)
 
     # ---- stage E: one device-eval click ---------------------------------

@@ -167,7 +167,7 @@ def measure_batched_throughput(batch_size: int = 8, dtype=None) -> float:
 
 def measure_trained_workload(batch_size: int = 8, n_samples: int = 24,
                              target_iou: float = 0.90,
-                             fullscale_batch: int = 16,
+                             fullscale_batch: int = 32,
                              fullscale_n: int = 78):
     """Real-workload dataset eval (trained checkpoint, varied-difficulty
     scenes, stop at target IoU): useful clicks/s for the lockstep batched

@@ -46,8 +46,18 @@ from isegprobe_tpu.ops.sample import crop_resize_dyn, inverse_paste_dyn
 from isegprobe_tpu.utils.misc import stamped
 
 
-def _ceil14(x: int) -> int:
-    return -(-x // 14) * 14
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _backbone_patch(model) -> int:
+    """Patch size from the (unbound) model config — the canvas must tile it."""
+    bcfg = getattr(model, "backbone_cfg", {}) or {}
+    btype = str(bcfg.get("type", "dinov2")).lower()
+    bparams = bcfg.get("params") or {}
+    if btype == "vit":
+        return int(bparams.get("patch_size", 16))
+    return 14  # dinov2 family
 
 
 def make_adaptive_evaluator(
@@ -79,8 +89,9 @@ def make_adaptive_evaluator(
             "skip_clicks < 0 is the fixed-crop protocol — use "
             "make_device_evaluator")
     hp, wp = frame_hw
-    ch = _ceil14(max(hp, target_size))
-    cw = _ceil14(max(wp, target_size))
+    patch = _backbone_patch(model)
+    ch = _ceil_to(max(hp, target_size), patch)
+    cw = _ceil_to(max(wp, target_size), patch)
     nmax = net_clicks_limit
     with_prev = getattr(model, "with_prev_mask", False)
     nflip = 2 if with_flip else 1

@@ -90,3 +90,35 @@ class DINOFeaturizer(nn.Module):
             feats = feats + additional_features.astype(feats.dtype)
 
         return feats.reshape(b, gh, gw, self.embed_dim)
+
+    def masked_forward(
+        self,
+        x: jnp.ndarray,
+        additional_features: jnp.ndarray | None,
+        valid_grid: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Canvas forward with per-sample traced valid token grids
+        ([B, 2]) — the adaptive-ZoomIn compiled eval. Both probing modes are
+        exact on the valid rect: 'token' via the masked blocks, 'key'
+        because key vectors are pointwise projections of tokens the masked
+        attention already makes exact (tests/test_adaptive_eval.py)."""
+        b, h, w, _ = x.shape
+        gh_cap, gw_cap = h // self.patch_size, w // self.patch_size
+        mode = self.feats_injection_mode
+
+        tokens = self.model.embed_patches(x)
+        if additional_features is not None and mode == "before_backbone":
+            tokens = tokens + additional_features.astype(tokens.dtype)
+        out = self.model.forward_tokens_masked(
+            tokens, (gh_cap, gw_cap), valid_grid,
+            return_last_k=(self.feat_type == "key"))
+        if self.feat_type == "token":
+            feats = out["patch_tokens"]
+        elif self.feat_type == "key":
+            k = out["last_k"][:, 1:]  # [B, N, H, Dh]
+            feats = k.reshape(b, gh_cap * gw_cap, self.embed_dim)
+        else:
+            raise ValueError(f"Unknown feat_type: {self.feat_type}")
+        if additional_features is not None and mode == "after_backbone":
+            feats = feats + additional_features.astype(feats.dtype)
+        return feats.reshape(b, gh_cap, gw_cap, self.embed_dim)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from isegprobe_tpu.ops.attention import mha, mha_qkv
+from isegprobe_tpu.ops.attention import _mha_jnp, mha, mha_qkv
 from isegprobe_tpu.ops.layernorm import layernorm
 from isegprobe_tpu.ops.resize import resize
 
@@ -146,11 +146,15 @@ class Attention(nn.Module):
         qkv = _dense(self.quant, 3 * c, self.qkv_bias, self.dtype,
                      name="qkv")(x)
         if return_k:
-            # DINO key-probing needs k back: take the generic split path
-            assert key_mask is None, "return_k + key_mask not combined"
+            # DINO key-probing needs k back: take the generic split path.
+            # Keys are pointwise projections, so the masked (adaptive
+            # canvas) path returns them unchanged; only the softmax masks.
             t = qkv.reshape(b, n, 3, self.num_heads, dh)
             q, k, v = t[:, :, 0], t[:, :, 1], t[:, :, 2]  # [B, N, H, Dh]
-            out = mha(q, k, v, scale=dh**-0.5, impl=self.attn_impl)
+            if key_mask is not None:
+                out = _mha_jnp(q, k, v, dh**-0.5, key_mask=key_mask)
+            else:
+                out = mha(q, k, v, scale=dh**-0.5, impl=self.attn_impl)
             out = out.reshape(b, n, c)
         else:
             # packed path: the fused kernel consumes qkv with one relayout
@@ -238,7 +242,7 @@ class Block(nn.Module):
             c.attn_impl, c.quant, name="attn",
         )
         if return_k:
-            a, k = attn(h, return_k=True)
+            a, k = attn(h, return_k=True, key_mask=key_mask)
         else:
             a, k = attn(h, key_mask=key_mask), None
         if c.layerscale:
@@ -367,6 +371,7 @@ class ViT(nn.Module):
         tokens: jnp.ndarray,
         canvas_grid: tuple[int, int],
         valid_grid,
+        return_last_k: bool = False,
     ) -> dict:
         """``forward_tokens`` on a static canvas grid whose top-left traced
         per-sample (gh, gw) rect is valid (``valid_grid``: [B, 2]): pos
@@ -398,13 +403,21 @@ class ViT(nn.Module):
         # numerical hygiene: invalid lanes carry conv-of-zeros + clamped pe
         # taps; they are attention-masked anyway, but keep them bounded
         x = x * mask[:, :, None].astype(x.dtype)
-        for blk in self.blocks:
-            x = blk(x, key_mask=mask)
+        last_k = None
+        for i, blk in enumerate(self.blocks):
+            want_k = return_last_k and i == c.depth - 1
+            if want_k:
+                x, last_k = blk(x, return_k=True, key_mask=mask)
+            else:
+                x = blk(x, key_mask=mask)
         x = self.norm(x)
-        return {
+        out = {
             "tokens": x,
             "patch_tokens": x[:, 1:] if c.class_token else x,
         }
+        if return_last_k:
+            out["last_k"] = last_k
+        return out
 
     def forward_tokens(
         self,

@@ -134,6 +134,46 @@ def test_adaptive_device_matches_host_protocol():
                                    err_msg=f"scene {(h, w, seed)}")
 
 
+@pytest.mark.parametrize("feat_type", ["token", "key"])
+def test_forward_masked_dino_family(feat_type):
+    """The DINO ('vit') featurizer family under the adaptive canvas — both
+    probing modes ('token' patch tokens, 'key' last-block key vectors). Key
+    vectors are pointwise projections, so masked attention leaves valid
+    tokens' keys exact."""
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="vit", params=dict(
+            feats_injection_mode="before_backbone", feat_type=feat_type)),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(112, 112), patch_size=(16, 16),
+                        embed_dim=384)),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1,
+                                  num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        use_disks=True, norm_radius=5, with_prev_mask=True, attn_impl="jnp",
+    )
+    rng = np.random.default_rng(9)
+    image = jnp.zeros((1, 112, 112, 4), jnp.float32)
+    points = jnp.full((1, 8, 3), -1.0, jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), image, points)["params"]
+
+    vh, vw = 96, 77
+    img = rng.random((1, vh, vw, 4), dtype=np.float32)
+    pts = np.full((1, 8, 3), -1.0, np.float32)
+    pts[0, 0] = [40.0, 33.0, 0]
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(img),
+                                  jnp.asarray(pts))["instances"])[0]
+
+    canvas = np.zeros((1, 112, 112, 4), np.float32)
+    canvas[0, :vh, :vw] = img[0]
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(canvas), jnp.asarray(pts),
+        jnp.asarray([[vh, vw]], jnp.int32),
+        method=iSegProbeModel.forward_masked)["instances"])[0]
+    np.testing.assert_allclose(got[:vh, :vw], want, rtol=2e-4, atol=2e-4)
+
+
 def test_forward_masked_unsupported_raises():
     model = _model()
     import dataclasses

@@ -57,6 +57,11 @@ def _backbone_patch(model) -> int:
     bparams = bcfg.get("params") or {}
     if btype == "vit":
         return int(bparams.get("patch_size", 16))
+    if btype == "mask_clip":
+        from isegprobe_tpu.models.featurizers.maskclip import CLIP_ARCHS
+
+        return int(CLIP_ARCHS[bparams.get("model_name",
+                                          "ViT-B/16")]["patch_size"])
     return 14  # dinov2 family
 
 

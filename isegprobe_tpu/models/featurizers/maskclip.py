@@ -74,12 +74,26 @@ class _CLIPAttention(nn.Module):
                            precision=mm_precision(self.dtype))
                 + self.in_proj_bias.astype(self.dtype))
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
         d = self.width
         dh = d // self.heads
         qkv = self._qkv(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, n, _ = x.shape
+        if key_mask is not None:
+            # adaptive-canvas eval: exclude invalid tokens from every
+            # softmax (ops/attention._mha_jnp masked path)
+            assert not self.causal
+            from isegprobe_tpu.ops.attention import _mha_jnp
+
+            out = _mha_jnp(
+                q.reshape(b, n, self.heads, dh),
+                k.reshape(b, n, self.heads, dh),
+                v.reshape(b, n, self.heads, dh),
+                dh**-0.5, key_mask=key_mask,
+            ).reshape(b, n, d)
+            return self.out_proj(out)
         if self.causal:
             qh = q.reshape(b, n, self.heads, dh)
             kh = k.reshape(b, n, self.heads, dh)
@@ -144,8 +158,9 @@ class _CLIPBlock(nn.Module):
         h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU (model.py:220-222)
         return self.c_proj(h)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = x + self.attn(self.ln_1(x))
+    def __call__(self, x: jnp.ndarray,
+                 key_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        x = x + self.attn(self.ln_1(x), key_mask=key_mask)
         x = x + self._mlp(self.ln_2(x))
         return x
 
@@ -229,6 +244,74 @@ class CLIPVisionTransformer(nn.Module):
         return jnp.matmul(x, self.proj.astype(x.dtype),
                           precision=mm_precision(x.dtype))
 
+    def _dyn_pos(self, canvas_grid, valid_grid) -> jnp.ndarray:
+        """_interp_pos at per-sample TRACED grids, laid out on the static
+        canvas grid (zero beyond each sample's rect); preserves the
+        exact-size short-circuit. Returns [B, 1+N, width] (f32)."""
+        from isegprobe_tpu.ops.dynamic_resize import dyn_matrix
+
+        g0 = self.pretrain_grid
+        gh_cap, gw_cap = canvas_grid
+        pe = self.positional_embedding.astype(jnp.float32)
+        cls_pe, patch_pe = pe[:1], pe[1:]
+        patch_pe = patch_pe.reshape(g0, g0, self.width)
+
+        def one(vg):
+            gh, gw = vg[0], vg[1]
+            scales = ((gh.astype(jnp.float32) + 0.1) / g0,
+                      (gw.astype(jnp.float32) + 0.1) / g0)
+            mr = dyn_matrix(g0, gh_cap, g0, gh, "bicubic", False, scales[0])
+            mc = dyn_matrix(g0, gw_cap, g0, gw, "bicubic", False, scales[1])
+            interp = jnp.einsum("oh,hwc->owc", mr, patch_pe)
+            interp = jnp.einsum("ow,hwc->hoc", mc, interp)
+            ii = jnp.arange(gh_cap)
+            jj = jnp.arange(gw_cap)
+            valid = (ii[:, None] < gh) & (jj[None, :] < gw)
+            if g0 <= gh_cap and g0 <= gw_cap:
+                raw = jnp.zeros((gh_cap, gw_cap, self.width), jnp.float32)
+                raw = raw.at[:g0, :g0].set(patch_pe)
+                interp = jnp.where((gh == g0) & (gw == g0), raw, interp)
+            interp = jnp.where(valid[:, :, None], interp, 0.0)
+            return interp.reshape(gh_cap * gw_cap, self.width)
+
+        patch = jax.vmap(one)(jnp.asarray(valid_grid))
+        b = patch.shape[0]
+        return jnp.concatenate(
+            [jnp.broadcast_to(cls_pe[None], (b, 1, self.width)), patch],
+            axis=1)
+
+    def dense_features_masked(self, tokens: jnp.ndarray, canvas_grid,
+                              valid_grid) -> jnp.ndarray:
+        """``dense_features`` on a static canvas grid with per-sample traced
+        valid rects ([B, 2]): dynamic pos-embed, invalid tokens excluded
+        from every softmax; everything after the blocks (value path,
+        ln_post, projection) is pointwise (tests/test_adaptive_eval.py)."""
+        b = tokens.shape[0]
+        gh_cap, gw_cap = canvas_grid
+        vg = jnp.asarray(valid_grid)
+        ii = jnp.arange(gh_cap)
+        jj = jnp.arange(gw_cap)
+        patch_valid = ((ii[None, :, None] < vg[:, 0, None, None])
+                       & (jj[None, None, :] < vg[:, 1, None, None]))
+        patch_valid = patch_valid.reshape(b, gh_cap * gw_cap)
+        mask = jnp.concatenate(
+            [jnp.ones((b, 1), jnp.bool_), patch_valid], axis=1)
+
+        cls = jnp.broadcast_to(
+            self.class_embedding.astype(tokens.dtype), (b, 1, self.width)
+        )
+        x = jnp.concatenate([cls, tokens], axis=1)
+        x = x + self._dyn_pos(canvas_grid, vg).astype(x.dtype)
+        x = self.ln_pre(x)
+        x = x * mask[:, :, None].astype(x.dtype)  # keep invalid lanes bounded
+        for blk in self.resblocks[:-1]:
+            x = blk(x, key_mask=mask)
+        x = self.resblocks[-1].forward_v(x)
+        x = x[:, 1:]
+        x = self.ln_post(x)
+        return jnp.matmul(x, self.proj.astype(x.dtype),
+                          precision=mm_precision(x.dtype))
+
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h, w = x.shape[1], x.shape[2]
         grid_hw = (h // self.patch_size, w // self.patch_size)
@@ -278,6 +361,21 @@ class MaskCLIPFeaturizer(nn.Module):
         if additional_features is not None and mode == "after_backbone":
             feats = feats + additional_features.astype(feats.dtype)
         return feats.reshape(b, gh, gw, -1)
+
+    def masked_forward(self, x, additional_features, valid_grid):
+        """Canvas forward with per-sample traced valid token grids ([B, 2])
+        — the adaptive-ZoomIn compiled eval (inference/adaptive_eval.py)."""
+        b, h, w, _ = x.shape
+        gh_cap, gw_cap = h // self.patch_size, w // self.patch_size
+        mode = self.feats_injection_mode
+        tokens = self.model.embed_patches(x)
+        if additional_features is not None and mode == "before_backbone":
+            tokens = tokens + additional_features.astype(tokens.dtype)
+        feats = self.model.dense_features_masked(
+            tokens, (gh_cap, gw_cap), valid_grid).astype(jnp.float32)
+        if additional_features is not None and mode == "after_backbone":
+            feats = feats + additional_features.astype(feats.dtype)
+        return feats.reshape(b, gh_cap, gw_cap, -1)
 
 
 class CLIPTextEncoder(nn.Module):

@@ -174,6 +174,44 @@ def test_forward_masked_dino_family(feat_type):
     np.testing.assert_allclose(got[:vh, :vw], want, rtol=2e-4, atol=2e-4)
 
 
+def test_forward_masked_maskclip():
+    """The MaskCLIP (CLIP ViT-B/16 value-trick) family under the adaptive
+    canvas — its own tower: QuickGELU blocks, +0.1-offset bicubic pos-embed
+    at traced grids, last-block value path."""
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="mask_clip", params=dict(
+            feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(112, 112), patch_size=(16, 16),
+                        embed_dim=768)),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=512, num_layers=1,
+                                  num_classes=1)),
+        upsampler_cfg=dict(type="identity", params=dict()),
+        use_disks=True, norm_radius=5, with_prev_mask=True, attn_impl="jnp",
+    )
+    rng = np.random.default_rng(21)
+    image = jnp.zeros((1, 112, 112, 4), jnp.float32)
+    points = jnp.full((1, 8, 3), -1.0, jnp.float32)
+    params = model.init(jax.random.PRNGKey(6), image, points)["params"]
+
+    vh, vw = 103, 80
+    img = rng.random((1, vh, vw, 4), dtype=np.float32)
+    pts = np.full((1, 8, 3), -1.0, np.float32)
+    pts[0, 0] = [50.0, 31.0, 0]
+    want = np.asarray(model.apply({"params": params}, jnp.asarray(img),
+                                  jnp.asarray(pts))["instances"])[0]
+
+    canvas = np.zeros((1, 112, 112, 4), np.float32)
+    canvas[0, :vh, :vw] = img[0]
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(canvas), jnp.asarray(pts),
+        jnp.asarray([[vh, vw]], jnp.int32),
+        method=iSegProbeModel.forward_masked)["instances"])[0]
+    np.testing.assert_allclose(got[:vh, :vw], want, rtol=2e-4, atol=2e-4)
+
+
 def test_forward_masked_unsupported_raises():
     model = _model()
     import dataclasses

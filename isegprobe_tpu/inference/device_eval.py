@@ -573,10 +573,15 @@ def make_device_evaluator(
                     )
                     return out, q2
 
-                # the whole harvest (scatter + job gather + lane reinit) runs
-                # only on clicks where some lane actually finished
-                return jax.lax.cond(jnp.any(fin), harvest, lambda c: c,
-                                    (new, q))
+                # The harvest (scatter + job gather + lane reinit) is
+                # semantically a no-op when no lane finished (tgt=scratch,
+                # take all-false) — it used to be gated behind
+                # lax.cond(any(fin)), but that cond + the banded-LoftUp
+                # slab graph reproducibly FAULTED the TPU worker (batch
+                # 4/8/16, round 4); unconditional harvest compiles and runs
+                # the same jobs for the light families at equal throughput
+                # and removes the faulting pattern.
+                return harvest((new, q))
 
             st, q = jax.lax.while_loop(
                 lambda c: _cond(c[0]), body, (st, q))

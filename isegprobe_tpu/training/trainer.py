@@ -517,12 +517,23 @@ class iSegTrainer:
         # tunnel-attached chip from 0.8 s/step to ~0.1 s (compute: 40 ms).
         # The AdaptiveIoU binarization threshold consequently lags one step —
         # an EMA with decay 0.99 (metrics.py), indistinguishable in practice.
+        # depth-1 DEVICE prefetch on top: upload batch i+1 while step i's
+        # compute is in flight (device_put is async), so the host->device
+        # transfer — the dominant wall cost on a tunnel-attached chip —
+        # overlaps the previous step instead of serializing before each
+        # dispatch. Host-side item assembly is already overlapped by the
+        # DataLoader's worker pool.
         pending = None
-        for i, batch_data in enumerate(self.train_data):
+        data_it = iter(self.train_data)
+        ahead = next(data_it, None)
+        ahead = (ahead, self._prep_batch(ahead)) if ahead is not None else None
+        i = -1
+        while ahead is not None:
+            i += 1
+            batch_data, batch = ahead
             global_step = epoch * len(self.train_data) + i
             num_iters = pyrandom.randint(0, self.max_num_next_clicks)
             self.rng, step_rng = jax.random.split(self.rng)
-            batch = self._prep_batch(batch_data)
 
             # the device triplet must be measured at the metric's own
             # (t-step, t, t+step) offsets or _absorb adapts on wrong evidence
@@ -536,6 +547,12 @@ class iSegTrainer:
                                  num_iters, thr, step,
                                  click_trees=self._click_trees)
             )
+
+            # dispatch done (async) — start the NEXT batch's upload now so it
+            # rides along with this step's device compute
+            nxt = next(data_it, None)
+            ahead = ((nxt, self._prep_batch(nxt))
+                     if nxt is not None else None)
 
             if pending is not None:
                 train_loss += self._finish_train_step(*pending)

@@ -1,20 +1,28 @@
 """Cross-framework TRAINED-OUTCOME parity (RUN_SLOW).
 
-Round-2 verdict item 3: component-level parity (losses, EDT decisions,
-predictor trajectories) never proved the *systems* train the same. This test
-trains the flagship probe architecture in BOTH frameworks on the same
-procedural synthetic fixture — the torch reference end-to-end through its own
-``iSegTrainer`` (reference: core/training/trainer.py:377-477) and this
-framework through ``iSegTrainer``'s compiled mesh step — from the SAME random
-frozen DINOv2-S/14 trunk (torch init, converted via models/convert.py), then
-evaluates each trained head through its own eval stack (reference:
-core/inference/evaluation.py:22-86 vs inference/evaluation.py) at the
-fixed-112 ZoomIn + flip protocol, and asserts the NoC tables land together.
+Round-2 verdict item 3 / round-3 verdict item 5: component-level parity
+(losses, EDT decisions, predictor trajectories) never proved the *systems*
+train the same. These tests train probe architectures in BOTH frameworks on
+the same procedural synthetic fixture — the torch reference end-to-end
+through its own ``iSegTrainer`` (reference: core/training/trainer.py:377-477)
+and this framework through ``iSegTrainer``'s compiled mesh step — from the
+SAME random frozen DINOv2-S/14 trunk per seed (torch init, converted via
+models/convert.py), then evaluate each trained head through its own eval
+stack (reference: core/inference/evaluation.py:22-86 vs
+inference/evaluation.py) at the fixed-112 ZoomIn + flip protocol.
 
 Training clicks are stochastic in both frameworks (documented RNG delta,
 docs/PARITY.md), so the claim is outcome-band equality, not trajectory
-equality: both heads must learn decisively (NoC@90 far below the 20-click
-cap) and land within a small band of each other.
+equality (that equality claim lives in
+test_converted_trained_trajectory.py, which evaluates both stacks from the
+SAME trained weights). Round-4 hardening (verdict #5):
+
+  * the flagship (early-injection PatchEmbed) leg runs >=3 seeds per
+    framework at the 150-step budget and asserts MEAN NoC bands <=1.5
+    clicks — single-draw bands were 12% of the click cap;
+  * a second architecture leg — the late-injection SimpleViT click-encoder
+    family (reference: models/sbd/dinov2/simple-vit_noup.py:27-75) — so
+    outcome parity is not a single-architecture claim.
 """
 
 import os
@@ -41,13 +49,28 @@ from isegprobe_tpu.data.datasets.synthetic import render_scene  # noqa: E402
 from isegprobe_tpu.utils.config import EDict  # noqa: E402
 
 CROP = 112
-EPOCHS = 40
+EPOCHS = 25  # x6 steps/epoch = the 150-step budget (docs/PARITY.md table)
 LR = 2e-4
 N_TRAIN, TRAIN_SEED = 48, 11
 N_EVAL, EVAL_SEED, EVAL_MIN_AREA = 16, 99, 300
 MAX_CLICKS = 20
 SAMPLER_KW = dict(prob_gamma=0.80, merge_objects_prob=0.15,
                   max_num_merged_objects=2)
+
+# architecture legs: (backbone injection, embed_coords cfg)
+_SIMPLEVIT_EC = dict(
+    type="simple_vit",
+    params=dict(img_size=[CROP, CROP], patch_size=(14, 14), embed_dim=384,
+                depth=6, heads=8, mlp_dim=2048, channels=3, dim_head=64),
+)
+_PATCHEMBED_EC = dict(
+    type="patchEmbed",
+    params=dict(img_size=(CROP, CROP), patch_size=(14, 14), embed_dim=384),
+)
+ARCHS = {
+    "early_patchembed": ("before_backbone", _PATCHEMBED_EC),
+    "late_simplevit": ("after_backbone", _SIMPLEVIT_EC),
+}
 
 
 def _scene_objects(index, seed, min_area):
@@ -65,19 +88,16 @@ def _scene_objects(index, seed, min_area):
 # --------------------------------------------------------------- torch side
 
 
-def _torch_model():
+def _torch_model(arch: str, seed: int):
     from core.model.iseg_probe_model import iSegProbeModel as TorchProbeModel
     from core.utils.model_builder import ModelBuilder
 
-    torch.manual_seed(0)
+    injection, ec_cfg = ARCHS[arch]
+    torch.manual_seed(seed)
     return TorchProbeModel(
         backbone_cfg=dict(type="dinov2",
-                          params=dict(feats_injection_mode="before_backbone")),
-        embed_coords_cfg=dict(
-            type="patchEmbed",
-            params=dict(img_size=(CROP, CROP), patch_size=(14, 14),
-                        embed_dim=384),
-        ),
+                          params=dict(feats_injection_mode=injection)),
+        embed_coords_cfg=ec_cfg,
         head_cfg=dict(type="convhead",
                       params=dict(in_channels=384, num_layers=2,
                                   num_classes=1)),
@@ -106,13 +126,13 @@ def _ref_dataset(n, seed, min_area=80, **kwargs):
     return RefSyntheticDataset(**kwargs)
 
 
-def _train_torch(tmp_path):
+def _train_torch(tmp_path, arch: str, seed: int):
     import core.training.trainer as ref_trainer_mod
     from core.data.points_sampler import MultiPointSampler as RefMPS
     from core.training.losses import NormalizedFocalLossSigmoid as RefNFL
     from core.training.metrics import AdaptiveIoU as RefAdaptiveIoU
 
-    model = _torch_model()
+    model = _torch_model(arch, seed)
     trainset = _ref_dataset(
         N_TRAIN, TRAIN_SEED,
         points_sampler=RefMPS(4, **SAMPLER_KW),
@@ -121,7 +141,7 @@ def _train_torch(tmp_path):
     valset = _ref_dataset(8, TRAIN_SEED + 1,
                           points_sampler=RefMPS(4, prob_gamma=0.8),
                           min_object_area=80)
-    out = Path(tmp_path) / "ref_run"
+    out = Path(tmp_path) / f"ref_run_{arch}_{seed}"
     for sub in ("ckpts", "logs", "vis"):
         (out / sub).mkdir(parents=True, exist_ok=True)
     cfg = EDict.convert({
@@ -142,7 +162,7 @@ def _train_torch(tmp_path):
         optimizer="adam", optimizer_params={"lr": LR},
         image_dump_interval=-1, checkpoint_interval=10_000,
         metrics=[RefAdaptiveIoU()],
-        max_interactive_points=4, max_num_next_clicks=3, seed=0,
+        max_interactive_points=4, max_num_next_clicks=3, seed=seed,
     )
     for epoch in range(EPOCHS):
         trainer.training(epoch)
@@ -167,17 +187,14 @@ def _eval_torch(model):
 # ---------------------------------------------------------------- our side
 
 
-def _our_model():
+def _our_model(arch: str):
     from isegprobe_tpu.models.probe_model import iSegProbeModel
 
+    injection, ec_cfg = ARCHS[arch]
     return iSegProbeModel(
         backbone_cfg=dict(type="dinov2",
-                          params=dict(feats_injection_mode="before_backbone")),
-        embed_coords_cfg=dict(
-            type="patchEmbed",
-            params=dict(img_size=(CROP, CROP), patch_size=(14, 14),
-                        embed_dim=384),
-        ),
+                          params=dict(feats_injection_mode=injection)),
+        embed_coords_cfg=ec_cfg,
         head_cfg=dict(type="convhead",
                       params=dict(in_channels=384, num_layers=2,
                                   num_classes=1)),
@@ -188,7 +205,7 @@ def _our_model():
     )
 
 
-def _train_ours(tmp_path, torch_trunk_sd):
+def _train_ours(tmp_path, torch_trunk_sd, arch: str, seed: int):
     from isegprobe_tpu.data.datasets import SyntheticShapesDataset
     from isegprobe_tpu.data.points_sampler import MultiPointSampler
     from isegprobe_tpu.models.convert import convert_vit
@@ -196,11 +213,11 @@ def _train_ours(tmp_path, torch_trunk_sd):
     from isegprobe_tpu.training.losses import NormalizedFocalLossSigmoid
     from isegprobe_tpu.training.trainer import iSegTrainer
 
-    model = _our_model()
+    model = _our_model(arch)
 
-    def _ds(n, seed):
+    def _ds(n, seed_):
         return SyntheticShapesDataset(
-            n_samples=n, image_size=(CROP, CROP), seed=seed,
+            n_samples=n, image_size=(CROP, CROP), seed=seed_,
             min_instance_area=80,  # same present-object rule as _ref_dataset
             min_object_area=80, keep_background_prob=0.01,
             points_sampler=MultiPointSampler(max_num_points=4, **SAMPLER_KW),
@@ -211,7 +228,7 @@ def _train_ours(tmp_path, torch_trunk_sd):
         dataloader=types.SimpleNamespace(batch_size=8, val_batch_size=8,
                                          workers=2),
         training=types.SimpleNamespace(start_epoch=0, weights=None),
-        CHECKPOINTS_PATH=str(Path(tmp_path) / "our_ckpts"),
+        CHECKPOINTS_PATH=str(Path(tmp_path) / f"our_ckpts_{arch}_{seed}"),
         LOGS_PATH=None,
     )
     trainer = iSegTrainer(
@@ -222,7 +239,7 @@ def _train_ours(tmp_path, torch_trunk_sd):
         trainset=_ds(N_TRAIN, TRAIN_SEED), valset=_ds(8, TRAIN_SEED + 1),
         optimizer="adam", optimizer_params={"lr": LR},
         checkpoint_interval=10_000, image_dump_interval=-1,
-        max_interactive_points=4, max_num_next_clicks=3, seed=0,
+        max_interactive_points=4, max_num_next_clicks=3, seed=seed,
     )
 
     # SAME frozen trunk as the torch run: convert its random-init DINOv2
@@ -251,49 +268,64 @@ def _eval_ours(model, params):
     return ious
 
 
-# ------------------------------------------------------------------- test
+# ------------------------------------------------------------------- tests
 
 
-def test_both_frameworks_train_to_equivalent_noc(tmp_path):
+def _run_pair(tmp_path, arch: str, seed: int):
     from isegprobe_tpu.inference.metrics import compute_noc_metric, miou_at_k
 
-    torch_model = _train_torch(tmp_path)
+    torch_model = _train_torch(tmp_path, arch, seed)
     trunk_sd = {k: v for k, v in
                 torch_model.backbone.model.state_dict().items()}
     torch_ious = _eval_torch(torch_model)
 
-    our_model, our_params = _train_ours(tmp_path, trunk_sd)
+    our_model, our_params = _train_ours(tmp_path, trunk_sd, arch, seed)
     our_ious = _eval_ours(our_model, our_params)
 
-    noc_t, _, over_t = compute_noc_metric(torch_ious, iou_thrs=[0.8, 0.85, 0.9],
-                                          max_clicks=MAX_CLICKS)
-    noc_o, _, over_o = compute_noc_metric(our_ious, iou_thrs=[0.8, 0.85, 0.9],
-                                          max_clicks=MAX_CLICKS)
-    miou_t = float(miou_at_k(torch_ious, MAX_CLICKS)[4])  # mIoU after 5 clicks
+    noc_t, _, _ = compute_noc_metric(torch_ious, iou_thrs=[0.8, 0.85, 0.9],
+                                     max_clicks=MAX_CLICKS)
+    noc_o, _, _ = compute_noc_metric(our_ious, iou_thrs=[0.8, 0.85, 0.9],
+                                     max_clicks=MAX_CLICKS)
+    miou_t = float(miou_at_k(torch_ious, MAX_CLICKS)[4])
     miou_o = float(miou_at_k(our_ious, MAX_CLICKS)[4])
-    print(f"torch reference: NoC@80/85/90 = "
-          f"{noc_t[0]:.2f}/{noc_t[1]:.2f}/{noc_t[2]:.2f} "
-          f"(>=20@90: {over_t[2]}/{len(torch_ious)}), mIoU@5 {miou_t:.3f}")
-    print(f"this framework:  NoC@80/85/90 = "
-          f"{noc_o[0]:.2f}/{noc_o[1]:.2f}/{noc_o[2]:.2f} "
-          f"(>=20@90: {over_o[2]}/{len(our_ious)}), mIoU@5 {miou_o:.3f}")
+    print(f"[{arch} seed {seed}] torch NoC@80/85/90 = "
+          f"{noc_t[0]:.2f}/{noc_t[1]:.2f}/{noc_t[2]:.2f} mIoU@5 {miou_t:.3f}"
+          f" | ours {noc_o[0]:.2f}/{noc_o[1]:.2f}/{noc_o[2]:.2f} "
+          f"mIoU@5 {miou_o:.3f}", flush=True)
+    return np.asarray(noc_t), np.asarray(noc_o), miou_t, miou_o
 
-    # both systems must actually learn (random init: mIoU@5 ~0.1, NoC@80
-    # pinned at the 20 cap — BASELINE.md), and land in the same band.
-    # Calibration: at 240 steps both frameworks land at NoC@80 ~11.5,
-    # mIoU@5 ~0.64, within 0.5 clicks of each other (40-epoch run recorded
-    # in docs/PARITY.md).
-    assert miou_t > 0.45, f"torch reference failed to learn: mIoU@5 {miou_t}"
-    assert miou_o > 0.45, f"this framework failed to learn: mIoU@5 {miou_o}"
-    assert noc_t[0] < 13.0, f"torch reference failed to learn: {noc_t}"
-    assert noc_o[0] < 13.0, f"this framework failed to learn: {noc_o}"
-    assert abs(noc_o[2] - noc_t[2]) <= 2.5, (
-        f"NoC@90 diverges across frameworks: ours {noc_o[2]:.2f} "
-        f"vs torch {noc_t[2]:.2f}")
-    assert abs(noc_o[0] - noc_t[0]) <= 2.5, (
-        f"NoC@80 diverges across frameworks: ours {noc_o[0]:.2f} "
-        f"vs torch {noc_t[0]:.2f}")
-    # no mIoU equality band: at this budget single-run stochastic click
-    # synthesis swings mIoU@5 by ~0.17 across repeats (25-ep ours: 0.651;
-    # 40-ep ours: 0.483; torch 0.639/0.652) — the NoC bands above are the
-    # stable cross-framework claim
+
+def test_flagship_outcome_parity_multiseed(tmp_path):
+    """>=3 seeds per framework, 150-step budget, MEAN NoC bands <=1.5."""
+    seeds = (0, 1, 2)
+    nocs_t, nocs_o = [], []
+    for seed in seeds:
+        noc_t, noc_o, miou_t, miou_o = _run_pair(tmp_path,
+                                                 "early_patchembed", seed)
+        # each individual run must actually learn (random init: mIoU@5 ~0.1,
+        # NoC@80 pinned at the 20 cap — BASELINE.md)
+        assert miou_t > 0.4, f"torch seed {seed} failed to learn: {miou_t}"
+        assert miou_o > 0.4, f"ours seed {seed} failed to learn: {miou_o}"
+        nocs_t.append(noc_t)
+        nocs_o.append(noc_o)
+    mean_t = np.mean(nocs_t, axis=0)
+    mean_o = np.mean(nocs_o, axis=0)
+    print(f"[early_patchembed] mean over {len(seeds)} seeds: torch "
+          f"{mean_t.round(2)} vs ours {mean_o.round(2)}", flush=True)
+    for i, thr in enumerate((80, 85, 90)):
+        assert abs(mean_o[i] - mean_t[i]) <= 1.5, (
+            f"mean NoC@{thr} diverges across frameworks: "
+            f"ours {mean_o[i]:.2f} vs torch {mean_t[i]:.2f}")
+
+
+def test_late_simplevit_outcome_parity(tmp_path):
+    """Second architecture leg: late injection + SimpleViT click encoder
+    (a different injection path AND click-encoder family than the flagship;
+    reference: models/sbd/dinov2/simple-vit_noup.py)."""
+    noc_t, noc_o, miou_t, miou_o = _run_pair(tmp_path, "late_simplevit", 0)
+    assert miou_t > 0.35, f"torch failed to learn: mIoU@5 {miou_t}"
+    assert miou_o > 0.35, f"ours failed to learn: mIoU@5 {miou_o}"
+    for i, thr in enumerate((80, 85, 90)):
+        assert abs(noc_o[i] - noc_t[i]) <= 2.5, (
+            f"NoC@{thr} diverges across frameworks (single seed): "
+            f"ours {noc_o[i]:.2f} vs torch {noc_t[i]:.2f}")

@@ -445,6 +445,11 @@ def main() -> None:
                     all_ious = evaluate_dataset_group(
                         run, params, dataset, sample_times=sample_times,
                         stats=refill_stats, devices=refill_devices,
+                        # bound staged-frame HBM per dispatch (0 = whole
+                        # shape group): HBM-edge models like 448² LoftUp
+                        # need ~24 (BASELINE.md known limitation)
+                        max_jobs_per_dispatch=int(
+                            eval_cfg.get("group_max_jobs", 0)),
                     )
                     logger.info(f"group-eval stats: {refill_stats}")
                 else:

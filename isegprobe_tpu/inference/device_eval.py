@@ -761,6 +761,7 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
                            sample_times: Optional[list] = None,
                            stats: Optional[dict] = None,
                            depth: int = 2, job_bucket: int = 0,
+                           max_jobs_per_dispatch: int = 0,
                            devices: Optional[list] = None):
     """On-device continuous-batching dataset evaluation
     (``group_api=True`` evaluator).
@@ -777,6 +778,11 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
     multi-minute compile, and pow2 bucketing caps how many distinct J_pad
     signatures a sweep can produce. Padding duplicates the last job and is
     sliced away (``n_valid`` stops the queue first, so padding never runs).
+    ``max_jobs_per_dispatch`` splits long shape groups into several
+    dispatches of at most that many jobs — bounds the staged-frame HBM per
+    program (HBM-edge models: the full-78-job LoftUp staging faults the
+    worker where a 24-job group runs, BASELINE.md) at the cost of
+    re-paying the final drain per chunk.
     Dispatches are pipelined ``depth`` deep — group i+1 uploads while group
     i computes. ``sample_times`` records each sample's group wall
     (submit→group completion), the latency a user of this path observes.
@@ -835,31 +841,34 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
     for group in by_shape.values():
         n_dev = min(len(devices), max(1, -(-len(group) // b)))
         for di in range(n_dev):
-            subgroup = group[di::n_dev]
-            if not subgroup:
+            subgroup_all = group[di::n_dev]
+            if not subgroup_all:
                 continue
             dev_idx = (base + di) % len(devices)
             dev = devices[dev_idx]
-            # next power of two (>= the jb floor): the group program is a
-            # multi-minute compile, and pow2 bucketing caps the number of
-            # distinct J_pad signatures a dataset sweep can produce; padding
-            # costs only duplicate uint8 frames in HBM (n_valid stops the
-            # queue before padding ever runs)
-            jpad = max(b, jb)
-            while jpad < len(subgroup):
-                jpad *= 2
-            fill = subgroup + [subgroup[-1]] * (jpad - len(subgroup))
-            handles = ev.run(
-                _params_for(dev),
-                _put(np.stack([j[1] for j in fill]), dev),
-                _put(np.stack([j[2] for j in fill]), dev),
-                _put(np.stack([j[3] for j in fill]), dev),
-                _put(np.asarray(len(subgroup), np.int32), dev),
-            )
-            n_dispatch += 1
-            pending[dev_idx].append((subgroup, handles, _time()))
-            if len(pending[dev_idx]) >= max(1, depth):
-                _drain(pending[dev_idx].popleft())
+            step = max_jobs_per_dispatch or len(subgroup_all)
+            for lo in range(0, len(subgroup_all), step):
+                subgroup = subgroup_all[lo:lo + step]
+                # next power of two (>= the jb floor): the group program is
+                # a multi-minute compile, and pow2 bucketing caps the number
+                # of distinct J_pad signatures a dataset sweep can produce;
+                # padding costs only duplicate uint8 frames in HBM (n_valid
+                # stops the queue before padding ever runs)
+                jpad = max(b, jb)
+                while jpad < len(subgroup):
+                    jpad *= 2
+                fill = subgroup + [subgroup[-1]] * (jpad - len(subgroup))
+                handles = ev.run(
+                    _params_for(dev),
+                    _put(np.stack([j[1] for j in fill]), dev),
+                    _put(np.stack([j[2] for j in fill]), dev),
+                    _put(np.stack([j[3] for j in fill]), dev),
+                    _put(np.asarray(len(subgroup), np.int32), dev),
+                )
+                n_dispatch += 1
+                pending[dev_idx].append((subgroup, handles, _time()))
+                if len(pending[dev_idx]) >= max(1, depth):
+                    _drain(pending[dev_idx].popleft())
         base = (base + n_dev) % len(devices)
     for q in pending.values():
         while q:

@@ -154,3 +154,46 @@ def test_group_api_validation():
     with pytest.raises(ValueError, match="mesh"):
         make_device_evaluator(model, target_size=(56, 56), batch_size=4,
                               group_api=True, mesh=make_mesh())
+
+
+def test_group_loftup_and_max_jobs_split():
+    """The LoftUp (banded coordinate cross-attention) family through the
+    job queue, with AND without the ``max_jobs_per_dispatch`` staging cap
+    (the round-4 HBM workaround for 448² serving): trajectories must match
+    the lockstep path exactly in both configurations."""
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(56, 56), patch_size=(14, 14),
+                        embed_dim=384)),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1,
+                                  num_classes=1)),
+        upsampler_cfg=dict(type="loftup", params=dict(
+            n_dim=384, query_chunk_rows=16, query_chunk_min_pixels=0,
+            attn_impl="jnp")),
+        use_disks=True, norm_radius=5, with_prev_mask=True, attn_impl="jnp",
+    )
+    image = np.zeros((1, 56, 56, 4), dtype=np.float32)
+    points = np.full((1, 4, 3), -1.0, dtype=np.float32)
+    params = model.init(jax.random.PRNGKey(1), image, points)["params"]
+
+    ds = _DS(list(range(5)))
+    common = dict(target_size=(56, 56), max_clicks=4, net_clicks_limit=4,
+                  pred_thr=0.49, target_iou=0.95, with_flip=True)
+    lock = make_device_evaluator(model, batch_size=2, **common)
+    group = make_device_evaluator(model, batch_size=2, group_api=True,
+                                  **common)
+
+    want = evaluate_dataset_device(lock, params, ds, batch_size=2)
+    got = evaluate_dataset_group(group, params, ds)
+    got_split = evaluate_dataset_group(group, params, ds,
+                                       max_jobs_per_dispatch=2)
+    assert len(want) == len(got) == len(got_split) == 5
+    for i in range(5):
+        np.testing.assert_allclose(got[i], want[i], atol=1e-5,
+                                   err_msg=f"group sample {i}")
+        np.testing.assert_allclose(got_split[i], want[i], atol=1e-5,
+                                   err_msg=f"split sample {i}")

@@ -23,6 +23,46 @@ BASELINE_CACHE = Path(__file__).parent / "BASELINE_LOCAL.json"
 N_WARMUP = 3
 N_CLICKS = 30
 
+# MXU-anchor reference (VERDICT r4 #2): chip-day throughput drifts ±20-30%
+# across sessions (clock/tunnel — docs/PERF.md §EDT variance), so absolute
+# clicks/s from different rounds are not comparable raw. Every bench run now
+# measures a fixed [4096²]·[4096²] bf16 matmul chain (the proven anchor from
+# scripts/bench_edt_variance.py) BEFORE EACH trained leg and emits
+# anchor-normalized throughputs: cps_norm = cps * (ANCHOR_REF_TF_S / anchor).
+# The reference constant is the anchor on the round-5 measurement day; a
+# future run's normalized numbers are directly comparable to that day.
+ANCHOR_REF_TF_S = 160.0
+
+
+def measure_mxu_anchor(inner_n: int = 20, repeats: int = 5) -> float:
+    """Chip-throughput anchor: TF/s of a chained 4096³ bf16 matmul (serial
+    data dependency inside one program, so tunnel dispatch amortizes out).
+    Tracks the chip clock / backend health — kernel-independent."""
+    import jax
+    import jax.numpy as jnp
+
+    from isegprobe_tpu.utils.misc import stamped
+
+    n = 4096
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
+
+    def anchor(a, b):
+        def body(_, x):
+            return jnp.matmul(x, b)
+        return jax.lax.fori_loop(0, inner_n, body, a)
+
+    fn = jax.jit(stamped(anchor, ("bench_mxu_anchor", n)))
+    # force a host fetch: block_until_ready does not reliably block here
+    float(jnp.sum(fn(a, b).astype(jnp.float32)))  # compile+warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(jnp.sum(fn(a, b).astype(jnp.float32)))
+        times.append((time.perf_counter() - t0) / inner_n)
+    return float(2 * n ** 3 / np.median(times) / 1e12)
+
 
 def build_predictor(dtype=None, injection="before_backbone"):
     """dtype: None/f32, jnp.bfloat16, or the string 'int8' (W8A8 dense layers
@@ -179,8 +219,12 @@ def measure_trained_workload(batch_size: int = 8, n_samples: int = 24,
     deleted (0.98x lockstep, BENCH_r03). Also measures the FULL-SCALE group
     leg — the 78-sample BASELINE.md eval fixture at the best lane count —
     so the driver JSON carries the number the docs quote (r3 verdict #8).
-    Returns (lockstep_cps, group_cps, group_fullscale_cps) or None if the
-    committed trained checkpoint is unavailable."""
+    Each leg is bracketed by an MXU-anchor measurement (``measure_mxu_anchor``)
+    so the emitted JSON can distinguish chip-day drift from a real regression:
+    the r4 artifact recorded group_speedup 0.97 with no way to tell (VERDICT
+    r4 weak #1). Returns a dict with raw clicks/s, the local anchor TF/s per
+    leg, and anchor-normalized clicks/s — or None if the committed trained
+    checkpoint is unavailable."""
     from isegprobe_tpu.data.datasets.synthetic import SyntheticShapesDataset
     from isegprobe_tpu.inference.device_eval import (
         evaluate_dataset_device,
@@ -207,16 +251,19 @@ def measure_trained_workload(batch_size: int = 8, n_samples: int = 24,
     group = make_device_evaluator(model, batch_size=batch_size,
                                   group_api=True, **common)
 
+    anchors = [measure_mxu_anchor()]
     evaluate_dataset_device(lock, params, ds, batch_size=batch_size)
     t0 = time.perf_counter()
     ious_l = evaluate_dataset_device(lock, params, ds,
                                      batch_size=batch_size)
     lock_cps = sum(len(a) for a in ious_l) / (time.perf_counter() - t0)
+    anchors.append(measure_mxu_anchor())
 
     evaluate_dataset_group(group, params, ds)
     t0 = time.perf_counter()
     ious_g = evaluate_dataset_group(group, params, ds)
     group_cps = sum(len(a) for a in ious_g) / (time.perf_counter() - t0)
+    anchors.append(measure_mxu_anchor())
 
     # full scale: the 78-instance seed-2026 fixture (evaluate.py Synthetic)
     full_ds = SyntheticShapesDataset(n_samples=fullscale_n, seed=2026,
@@ -227,7 +274,22 @@ def measure_trained_workload(batch_size: int = 8, n_samples: int = 24,
     t0 = time.perf_counter()
     ious_f = evaluate_dataset_group(group_full, params, full_ds)
     full_cps = sum(len(a) for a in ious_f) / (time.perf_counter() - t0)
-    return lock_cps, group_cps, full_cps
+    anchors.append(measure_mxu_anchor())
+
+    # normalize each leg by the mean of its bracketing anchors: a leg that
+    # ran on a slow chip-interval scales UP to the reference day, so the
+    # normalized group/lockstep ratio is drift-immune even when drift moved
+    # BETWEEN the legs (the r4 0.97 scenario)
+    def norm(cps, i):
+        local = 0.5 * (anchors[i] + anchors[i + 1])
+        return cps * ANCHOR_REF_TF_S / local
+
+    return dict(
+        lockstep=lock_cps, group=group_cps, fullscale=full_cps,
+        anchors=anchors,
+        lockstep_norm=norm(lock_cps, 0), group_norm=norm(group_cps, 1),
+        fullscale_norm=norm(full_cps, 2),
+    )
 
 
 class _EvalCfg(dict):
@@ -415,7 +477,7 @@ def main():
     # W8A8 dense layers on the int8 MXU (eval_cfg.dtype=int8, ops/quant.py)
     clicks_per_s_int8 = measure_batched_throughput(8, dtype="int8")
     try:
-        trained_triple = measure_trained_workload()
+        trained = measure_trained_workload()
     except Exception as e:
         # keep stdout to the single JSON line; a real failure must still be
         # visible (None otherwise only means "trained checkpoint absent")
@@ -424,7 +486,7 @@ def main():
 
         print(f"trained-workload leg failed: {e!r}", file=sys.stderr)
         traceback.print_exc(file=sys.stderr)
-        trained_triple = None
+        trained = None
     # train leg (VERDICT r3 #4): device vs wall step time + MFU, f32 and bf16
     try:
         train_f32 = measure_train(dtype=None)
@@ -472,16 +534,31 @@ def main():
         "mfu_bf16_batched_pct": round(mfu_bf16_batched, 2),
         # trained-checkpoint real workload (stop at IoU 0.9): straggler-bound
         # lockstep vs on-device-queue continuous batching, plus the
-        # full-scale (78-sample fixture) group number the docs quote
+        # full-scale (78-sample fixture) group number the docs quote.
+        # *_norm fields are MXU-anchor-normalized to ANCHOR_REF_TF_S (the
+        # r5 reference chip-day) — drift-immune across rounds AND across
+        # legs within a run (VERDICT r4 weak #1)
         "trained_lockstep_clicks_per_s": (
-            round(trained_triple[0], 1) if trained_triple else None),
+            round(trained["lockstep"], 1) if trained else None),
         "trained_group_clicks_per_s": (
-            round(trained_triple[1], 1) if trained_triple else None),
+            round(trained["group"], 1) if trained else None),
         "trained_group_fullscale_clicks_per_s": (
-            round(trained_triple[2], 1) if trained_triple else None),
+            round(trained["fullscale"], 1) if trained else None),
         "group_speedup": (
-            round(trained_triple[1] / trained_triple[0], 2)
-            if trained_triple else None),
+            round(trained["group"] / trained["lockstep"], 2)
+            if trained else None),
+        "anchor_tf_s_legs": (
+            [round(a, 1) for a in trained["anchors"]] if trained else None),
+        "anchor_ref_tf_s": ANCHOR_REF_TF_S,
+        "trained_lockstep_norm_clicks_per_s": (
+            round(trained["lockstep_norm"], 1) if trained else None),
+        "trained_group_norm_clicks_per_s": (
+            round(trained["group_norm"], 1) if trained else None),
+        "trained_group_fullscale_norm_clicks_per_s": (
+            round(trained["fullscale_norm"], 1) if trained else None),
+        "group_speedup_anchor_norm": (
+            round(trained["group_norm"] / trained["lockstep_norm"], 2)
+            if trained else None),
         # train leg: compiled-step vs honest wall s/step (batch 16 @224²,
         # 3 simulated clicks) and analytic MFU of the device step
         "train_f32_device_step_ms": (

@@ -151,6 +151,41 @@ def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     points = np.full((1, 40, 3), -1.0, dtype=np.float32)
     full = model.init(jax.random.PRNGKey(0), image, points)["params"]
     params = merge_params(full, params)
+    # MXU-aligned LoftUp serving layout: zero-pad every stem/cross-attention
+    # weight to lane multiples (cdim 404->512, head dim 101->128 — exact by
+    # construction, models/convert.py:pad_loftup_params) after the UNPADDED
+    # init+merge so the deterministic PRNGKey(0) init stream (and therefore
+    # every committed NoC table) is unchanged. Default 'auto': on for the
+    # bf16/int8 serving dtypes (measured 1.21x on the 448² upsampler leg,
+    # docs/PERF.md round 5), off for f32 — padding is perf-neutral there
+    # (0.98x) and f32 is the exact-NoC-parity dtype, so its bit stream stays
+    # untouched. eval_cfg.mxu_pad=true/false forces either way.
+    up_cfg = dict(config["params"].get("upsampler_cfg") or {})
+    mxu_pad = eval_cfg.get("mxu_pad", "auto")
+    if str(mxu_pad).lower() == "auto":
+        mxu_pad = dtype_name in ("bfloat16", "int8")
+    if up_cfg.get("type") == "loftup" and bool(mxu_pad):
+        from isegprobe_tpu.models.convert import pad_loftup_params
+
+        up_params = dict(up_cfg.get("params") or {})
+        params = dict(params)
+        params["upsampler"] = pad_loftup_params(
+            params["upsampler"],
+            n_dim=int(up_params.get("n_dim", 384)),
+            n_freqs=int(up_params.get("n_freqs", 20)),
+            heads=int(up_params.get("num_heads", 4)),
+            num_layers=int(up_params.get("num_layers", 2)),
+        )
+        up_params["mxu_pad"] = True
+        config = dict(config)
+        config["params"] = dict(config["params"],
+                                upsampler_cfg=dict(up_cfg, params=up_params))
+        if dtype_name == "int8":
+            model = build_model(config, dtype=jnp.bfloat16, quant="int8",
+                                **overrides)
+        else:
+            model = build_model(config, dtype=getattr(jnp, dtype_name),
+                                **overrides)
     if not eval_ritm:
         model, params = interpolate_backbone_pos_embed(model, params, config,
                                                        target_size)

@@ -49,15 +49,24 @@ from isegprobe_tpu.utils.misc import stamped
 
 class _GroupEvaluator:
     """Handle for the on-device continuous-batching eval API
-    (``make_device_evaluator(..., group_api=True)``): one jitted
-    ``run(params, jobs_img, jobs_gt, jobs_hw, n_valid)`` evaluating a whole
-    same-shape job group per dispatch, lanes refilled from an on-device
-    queue. Returns (ious [J_pad, max_clicks], n [J_pad])."""
+    (``make_device_evaluator(..., group_api=True)``), windowed staging
+    (round 5 — replaces the round-4 per-chunk ``group_max_jobs`` drain):
 
-    def __init__(self, run, batch_size, max_clicks):
+    * ``init(params, win_imgs, win_gts, win_hws)`` builds an all-parked lane
+      state from the first staged window;
+    * ``run(params, st, q, win_imgs, win_gts, win_hws, n_valid, win_base)``
+      advances the whole protocol until every job is done OR a lane needs a
+      job beyond the staged window — lane state carries ACROSS dispatches,
+      so a window switch costs one dispatch boundary, not a straggler drain.
+      ``st`` is donated (the big lane buffers alias in place); ``q`` is not
+      (the host paces uploads by fetching a scalar from a previous ``q``).
+    """
+
+    def __init__(self, run, batch_size, max_clicks, init):
         self.run = run
         self.batch_size = batch_size
         self.max_clicks = max_clicks
+        self.init = init
 
 
 def _bbox_from_mask(mask: jnp.ndarray):
@@ -507,90 +516,103 @@ def make_device_evaluator(
     # protocol-independent; tests/test_group_eval.py).
 
     if group_api:
-        def run_group(params, jobs_img, jobs_gt, jobs_hw, n_valid):
-            jpad = jobs_img.shape[0]
-            sent = jpad  # scratch output row absorbing idle-lane writes
-            b = batch_size
-            lane_ids = jnp.arange(b, dtype=jnp.int32)
-            st = _init_state(params, jobs_img[:b], jobs_gt[:b], jobs_hw[:b])
-            live0 = lane_ids < n_valid
-            st["done"] = ~live0
-            # queue bookkeeping lives OUTSIDE the lane state: _body vmaps the
-            # state dict over the lane axis, and these carry scalar / per-job
-            # shapes
-            q = dict(
-                job_id=jnp.where(live0, lane_ids, sent),
-                next_job=jnp.minimum(
-                    jnp.asarray(b, jnp.int32), n_valid.astype(jnp.int32)),
-                out_ious=jnp.zeros((jpad + 1, max_clicks), jnp.float32),
-                out_n=jnp.zeros((jpad + 1,), jnp.int32),
+        # Windowed continuous batching (round 5, VERDICT r4 #4): the compiled
+        # program stages only a WINDOW of job frames — bounded HBM by
+        # construction (the full-78-job LoftUp staging faulted the TPU
+        # worker, BASELINE.md) — and the host chains dispatches with the
+        # LANE STATE CARRIED ACROSS them: when the on-device queue wants a
+        # job beyond the window, the program raises ``want_refill`` and
+        # returns at the next click boundary; the next dispatch (its window
+        # already uploaded behind the running compute) resumes every
+        # mid-protocol lane exactly where it paused. No straggler drain at
+        # window boundaries — the round-4 ``group_max_jobs`` chunking cost.
+
+        def _jobs_in(st, q, want, win_imgs, win_gts, win_hws, n_valid,
+                     win_base):
+            """Hand out jobs from the staged window to lanes in ``want``
+            (lane order). A lane whose next job lies beyond the window parks
+            (job_id stays at the scratch row) and raises ``want_refill``."""
+            W = win_imgs.shape[0]
+            cand = q["next_job"] + jnp.cumsum(want.astype(jnp.int32)) - 1
+            in_sweep = cand < n_valid
+            take = want & in_sweep & (cand < win_base + W)
+            rel = jnp.clip(cand - win_base, 0, W - 1)
+            fresh = jax.vmap(_init_lane)(
+                jnp.take(win_imgs, rel, axis=0),
+                jnp.take(win_gts, rel, axis=0),
+                jnp.take(win_hws, rel, axis=0),
             )
+            out = dict(st)
+            for k, v in fresh.items():
+                mask = take.reshape((-1,) + (1,) * (v.ndim - 1))
+                out[k] = jnp.where(mask, v, st[k])
+            if use_cache:
+                # poison refilled lanes' cached-trunk ROI so the next
+                # click's batch-global predicate recomputes the trunk
+                out["trunk_roi"] = jnp.where(
+                    take[:, None], -1, out["trunk_roi"])
+            q2 = dict(
+                q,
+                job_id=jnp.where(take, cand, q["job_id"]),
+                next_job=q["next_job"] + jnp.sum(take.astype(jnp.int32)),
+                want_refill=q["want_refill"]
+                | jnp.any(want & in_sweep & ~take),
+            )
+            return out, q2
+
+        def run_window(params, st, q, win_imgs, win_gts, win_hws, n_valid,
+                       win_base):
+            sent = q["out_ious"].shape[0] - 1  # scratch row for idle writes
 
             def body(carry):
                 st, q = carry
                 new = _body(params, st)
                 active = (~st["done"]) & (st["n"] < max_clicks)
                 fin = active & (new["done"] | (new["n"] >= max_clicks))
+                # results out: finished lanes write their job's row; the
+                # rest target the scratch row (duplicate writes collide
+                # only there, harmlessly)
+                tgt = jnp.where(fin, q["job_id"], sent)
+                q2 = dict(
+                    q,
+                    out_ious=q["out_ious"].at[tgt].set(new["ious"]),
+                    out_n=q["out_n"].at[tgt].set(new["n"]),
+                    job_id=jnp.where(fin, sent, q["job_id"]),
+                )
+                # The job hand-out is UNCONDITIONAL — a lax.cond around the
+                # harvest + the banded-LoftUp slab graph reproducibly
+                # FAULTED the TPU worker (round-4 bisection, BASELINE.md;
+                # scripts/repro_group_fault.py).
+                return _jobs_in(new, q2, fin, win_imgs, win_gts, win_hws,
+                                n_valid, win_base)
 
-                def harvest(carry):
-                    new, q = carry
-                    # results out: finished lanes write their job's row; the
-                    # rest target the scratch row (duplicate writes collide
-                    # only there, harmlessly)
-                    tgt = jnp.where(fin, q["job_id"], sent)
-                    out_ious = q["out_ious"].at[tgt].set(new["ious"])
-                    out_n = q["out_n"].at[tgt].set(new["n"])
-                    # jobs in: hand out queue slots in lane order
-                    cand = q["next_job"] + jnp.cumsum(
-                        fin.astype(jnp.int32)) - 1
-                    take = fin & (cand < n_valid)
-                    safe = jnp.clip(cand, 0, jpad - 1)
-                    fresh = jax.vmap(_init_lane)(
-                        jnp.take(jobs_img, safe, axis=0),
-                        jnp.take(jobs_gt, safe, axis=0),
-                        jnp.take(jobs_hw, safe, axis=0),
-                    )
-                    out = dict(new)
-                    for k, v in fresh.items():
-                        mask = take.reshape((-1,) + (1,) * (v.ndim - 1))
-                        out[k] = jnp.where(mask, v, new[k])
-                    if use_cache:
-                        # poison refilled lanes' cached-trunk ROI so the next
-                        # click's batch-global predicate recomputes the trunk
-                        # (cost: one batched trunk per refill click for
-                        # late-injection configs)
-                        out["trunk_roi"] = jnp.where(
-                            take[:, None], -1, out["trunk_roi"])
-                    q2 = dict(
-                        # finished-but-unfilled lanes park on the scratch
-                        # row; everyone else keeps their job
-                        job_id=jnp.where(
-                            take, safe, jnp.where(fin, sent, q["job_id"])),
-                        next_job=q["next_job"] + jnp.sum(
-                            take.astype(jnp.int32)),
-                        out_ious=out_ious,
-                        out_n=out_n,
-                    )
-                    return out, q2
+            def cond(carry):
+                st, q = carry
+                return _cond(st) & ~q["want_refill"]
 
-                # The harvest (scatter + job gather + lane reinit) is
-                # semantically a no-op when no lane finished (tgt=scratch,
-                # take all-false) — it used to be gated behind
-                # lax.cond(any(fin)), but that cond + the banded-LoftUp
-                # slab graph reproducibly FAULTED the TPU worker (batch
-                # 4/8/16, round 4); unconditional harvest compiles and runs
-                # the same jobs for the light families at equal throughput
-                # and removes the faulting pattern.
-                return harvest((new, q))
+            # prologue: reset the refill latch, then fill parked lanes from
+            # the fresh window — covers both the chain start (init parks
+            # every lane) and a mid-sweep window switch
+            q = dict(q, want_refill=jnp.zeros((), jnp.bool_))
+            sent_arr = jnp.asarray(sent, q["job_id"].dtype)
+            st, q = _jobs_in(st, q, q["job_id"] == sent_arr, win_imgs,
+                             win_gts, win_hws, n_valid, win_base)
+            return jax.lax.while_loop(cond, body, (st, q))
 
-            st, q = jax.lax.while_loop(
-                lambda c: _cond(c[0]), body, (st, q))
-            return q["out_ious"][:-1], q["out_n"][:-1]
+        def init_group(params, win_imgs, win_gts, win_hws):
+            b = batch_size
+            st = _init_state(params, win_imgs[:b], win_gts[:b], win_hws[:b])
+            # every lane starts parked; run_window's prologue hands out jobs
+            # (trunk_roi poison makes the first click recompute the trunk)
+            st["done"] = jnp.ones((b,), jnp.bool_)
+            return st
 
         return _GroupEvaluator(
-            run=jax.jit(stamped(run_group, cfg_salt)),
+            run=jax.jit(stamped(run_window, cfg_salt + ("window",)),
+                        donate_argnums=(1,)),
             batch_size=batch_size,
             max_clicks=max_clicks,
+            init=jax.jit(stamped(init_group, cfg_salt + ("window-init",))),
         )
 
     if batch_size == 1:
@@ -766,26 +788,26 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
     """On-device continuous-batching dataset evaluation
     (``group_api=True`` evaluator).
 
-    One dispatch per same-shape job group: the whole group's padded frames
-    ship to HBM up front and the compiled loop refills finished lanes from an
-    on-device job counter (see ``make_device_evaluator``'s group_api block).
-    Compared to the lockstep batched path this removes the straggler waste
-    (lanes idle until the batch's slowest sample finishes) — the only
-    straggler cost left is the final drain when fewer jobs than lanes remain.
+    Windowed staging (round 5): each same-shape job group runs as a CHAIN of
+    dispatches over a sliding window of ``max_jobs_per_dispatch`` staged
+    frames (default 32, floored at ``batch_size``) — bounded HBM by
+    construction (the full-78-job LoftUp staging faulted the TPU worker,
+    BASELINE.md) — with the LANE STATE carried across dispatches: a window
+    switch pauses mid-protocol lanes at a click boundary and the next
+    dispatch resumes them, so unlike the round-4 ``group_max_jobs`` chunking
+    there is NO straggler drain per chunk; the only drain left is the final
+    one when fewer jobs than lanes remain. Window i+1's frames upload while
+    window i computes (the host paces itself two windows deep by fetching a
+    queue scalar), so staging is double-buffered.
 
-    Job counts are padded up to the next power of two (floored at
-    ``job_bucket``, default ``2*batch_size``): the group program is a
-    multi-minute compile, and pow2 bucketing caps how many distinct J_pad
-    signatures a sweep can produce. Padding duplicates the last job and is
-    sliced away (``n_valid`` stops the queue first, so padding never runs).
-    ``max_jobs_per_dispatch`` splits long shape groups into several
-    dispatches of at most that many jobs — bounds the staged-frame HBM per
-    program (HBM-edge models: the full-78-job LoftUp staging faults the
-    worker where a 24-job group runs, BASELINE.md) at the cost of
-    re-paying the final drain per chunk.
-    Dispatches are pipelined ``depth`` deep — group i+1 uploads while group
-    i computes. ``sample_times`` records each sample's group wall
-    (submit→group completion), the latency a user of this path observes.
+    OUT-buffer rows are padded up to the next power of two (floored at
+    ``job_bucket``, default ``2*batch_size``) so a dataset sweep produces
+    few distinct compile signatures; the window size is a second signature
+    dimension (one compile per distinct (frame-shape, window)).
+    Chains are pipelined ``depth`` deep across shape groups — group i+1
+    dispatches while group i drains. ``sample_times`` records each sample's
+    group-chain wall (chain start→chain completion), the latency a user of
+    this path observes.
 
     ``devices`` (a list of ``jax.Device``) scales the sweep across chips the
     embarrassingly-parallel way: each shape group's jobs are dealt
@@ -802,6 +824,7 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
     results = [None] * len(jobs)
     b = ev.batch_size
     jb = job_bucket or 2 * b
+    window = max(b, max_jobs_per_dispatch or 32)
     n_dispatch = 0
 
     devices = list(devices) if devices else [None]
@@ -824,9 +847,56 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
         # full frame stack on the DEFAULT device first and copy again
         return jnp.asarray(x) if d is None else jax.device_put(x, d)
 
+    def _run_chain(dev, subgroup):
+        """Dispatch one job group's whole windowed chain (no final sync);
+        returns the entry _drain later harvests."""
+        nonlocal n_dispatch
+        n = len(subgroup)
+        W = max(b, min(window, n))
+        npad = max(b, jb)  # out-buffer pow2 bucketing (compile signatures)
+        while npad < n:
+            npad *= 2
+        p = _params_for(dev)
+
+        def put_window(lo):
+            win = subgroup[lo:lo + W]
+            win = win + [win[-1]] * (W - len(win))
+            return (_put(np.stack([j[1] for j in win]), dev),
+                    _put(np.stack([j[2] for j in win]), dev),
+                    _put(np.stack([j[3] for j in win]), dev))
+
+        t0 = _time()
+        imgs, gts, hws = put_window(0)
+        st = ev.init(p, imgs, gts, hws)
+        q = dict(
+            job_id=_put(np.full((b,), npad, np.int32), dev),
+            next_job=_put(np.asarray(0, np.int32), dev),
+            out_ious=_put(np.zeros((npad + 1, ev.max_clicks), np.float32),
+                          dev),
+            out_n=_put(np.zeros((npad + 1,), np.int32), dev),
+            want_refill=_put(np.asarray(False), dev),
+        )
+        nv = _put(np.asarray(n, np.int32), dev)
+        paces: deque = deque()
+        for lo in range(0, n, W):
+            if lo:
+                imgs, gts, hws = put_window(lo)
+            st, q = ev.run(p, st, q, imgs, gts, hws, nv,
+                           _put(np.asarray(lo, np.int32), dev))
+            n_dispatch += 1
+            paces.append(q["next_job"])
+            # double-buffered staging: before uploading window i+1, force
+            # window i-1's program to have finished (int() is a host fetch —
+            # block_until_ready does not reliably block on this backend), so
+            # at most two windows' frames are in flight per chain
+            if len(paces) > 2:
+                int(paces.popleft())
+        return (subgroup, q, t0)
+
     def _drain(entry):
-        subgroup, handles, t0 = entry
-        ious_j, n_j = jax.device_get(handles)
+        subgroup, q, t0 = entry
+        ious_j = np.asarray(q["out_ious"])
+        n_j = np.asarray(q["out_n"])
         wall = _time() - t0
         for row, (order_idx, *_rest) in enumerate(subgroup):
             results[order_idx] = ious_j[row][: int(n_j[row])]
@@ -841,41 +911,21 @@ def evaluate_dataset_group(ev, params, dataset, bucket: int = 64,
     for group in by_shape.values():
         n_dev = min(len(devices), max(1, -(-len(group) // b)))
         for di in range(n_dev):
-            subgroup_all = group[di::n_dev]
-            if not subgroup_all:
+            subgroup = group[di::n_dev]
+            if not subgroup:
                 continue
             dev_idx = (base + di) % len(devices)
-            dev = devices[dev_idx]
-            step = max_jobs_per_dispatch or len(subgroup_all)
-            for lo in range(0, len(subgroup_all), step):
-                subgroup = subgroup_all[lo:lo + step]
-                # next power of two (>= the jb floor): the group program is
-                # a multi-minute compile, and pow2 bucketing caps the number
-                # of distinct J_pad signatures a dataset sweep can produce;
-                # padding costs only duplicate uint8 frames in HBM (n_valid
-                # stops the queue before padding ever runs)
-                jpad = max(b, jb)
-                while jpad < len(subgroup):
-                    jpad *= 2
-                fill = subgroup + [subgroup[-1]] * (jpad - len(subgroup))
-                handles = ev.run(
-                    _params_for(dev),
-                    _put(np.stack([j[1] for j in fill]), dev),
-                    _put(np.stack([j[2] for j in fill]), dev),
-                    _put(np.stack([j[3] for j in fill]), dev),
-                    _put(np.asarray(len(subgroup), np.int32), dev),
-                )
-                n_dispatch += 1
-                pending[dev_idx].append((subgroup, handles, _time()))
-                if len(pending[dev_idx]) >= max(1, depth):
-                    _drain(pending[dev_idx].popleft())
+            pending[dev_idx].append(_run_chain(devices[dev_idx], subgroup))
+            if len(pending[dev_idx]) >= max(1, depth):
+                _drain(pending[dev_idx].popleft())
         base = (base + n_dev) % len(devices)
-    for q in pending.values():
-        while q:
-            _drain(q.popleft())
+    for dq in pending.values():
+        while dq:
+            _drain(dq.popleft())
     if stats is not None:
         stats.update(
             dispatches=n_dispatch, batch_size=b, devices=len(devices),
-            useful_clicks=sum(len(a) for a in results if a is not None),
+            window=window, useful_clicks=sum(
+                len(a) for a in results if a is not None),
         )
     return results

@@ -128,6 +128,110 @@ def convert_loftup(upsampler_sd: Mapping, channelnorm_sd: Mapping,
     }
 
 
+def pad_loftup_params(params: Mapping, n_dim: int = 384, n_freqs: int = 20,
+                      heads: int = 4, num_layers: int = 2) -> Dict:
+    """Zero-pad LoftUp params to the MXU-aligned channel layout.
+
+    Convert-time counterpart of ``LoftUpUpsampler(mxu_pad=True)``: every
+    stem/cross-attention weight is zero-padded from the reference widths
+    (cdim 404, stem 203, head dim 101 — loftup/loftup.py:100-138,
+    loftup/layers.py:177-228) to the next 128-lane multiple (512/256/128).
+    Exact by construction — zero rows/cols contribute nothing to any
+    contraction, padded norm scales/biases are zero so padded activations
+    stay exactly zero, and the masked LayerNorm statistics cover only real
+    channels. The packed attention projections are stored HEAD-INTERLEAVED:
+    head h's real rows land at ``h*dh_pad + i`` so the module's plain
+    ``reshape(..., heads, dh_pad)`` puts each head's channels (plus zeros) in
+    its own padded slot; ``out_proj`` input rows are scattered to match.
+
+    Input: the UNPADDED flax param subtree of the upsampler (from
+    ``convert_loftup`` or a fresh ``model.init``); output: the padded tree
+    matching ``LoftUpUpsampler(mxu_pad=True).init`` shapes.
+    """
+    creal = n_dim + 2 * 5 * 2
+    cpad = ((creal + 127) // 128) * 128
+    sreal = 2 * n_freqs * 5 + 3
+    spad = ((sreal + 127) // 128) * 128
+    rdh, pdh = creal // heads, cpad // heads
+    ar = np.arange(creal)
+    hidx = (ar // rdh) * pdh + (ar % rdh)  # head-interleaved target rows
+
+    def tail(a, axis: int, to: int) -> np.ndarray:
+        a = np.asarray(a)
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, to - a.shape[axis])
+        return np.pad(a, pads)
+
+    def ln(p: Mapping, to: int) -> Dict:
+        return {"scale": tail(p["scale"], 0, to),
+                "bias": tail(p["bias"], 0, to)}
+
+    def bn(p: Mapping, to: int) -> Dict:
+        var = np.asarray(p["var"])
+        return {"scale": tail(p["scale"], 0, to),
+                "bias": tail(p["bias"], 0, to),
+                "mean": tail(p["mean"], 0, to),
+                # pad variance with ones: (0-0)*rsqrt(1+eps)*0+0 = 0, and no
+                # divide-by-~0 in the padded lanes
+                "var": np.concatenate(
+                    [var, np.ones(to - var.shape[0], var.dtype)])}
+
+    def conv(p: Mapping, cin_to: int, cout_to: int) -> Dict:
+        out = {"kernel": tail(tail(p["kernel"], 2, cin_to), 3, cout_to)}
+        if "bias" in p:
+            out["bias"] = tail(p["bias"], 0, cout_to)
+        return out
+
+    p = dict(params)
+    p["first_norm"] = {"norm": ln(params["first_norm"]["norm"], spad)}
+    p["first_conv1"] = {
+        "conv": conv(params["first_conv1"]["conv"], spad, cpad),
+        "bn": bn(params["first_conv1"]["bn"], cpad)}
+    p["first_conv2"] = {
+        "conv": conv(params["first_conv2"]["conv"], cpad, cpad),
+        "bn": bn(params["first_conv2"]["bn"], cpad)}
+
+    ca_in = params["ca_transformer"]
+    ca: Dict = {"norm": ln(ca_in["norm"], cpad)}
+    for i in range(num_layers):
+        layer = ca_in[f"ca_{i}"]
+        w = np.asarray(layer["attention"]["in_proj_weight"])
+        b = np.asarray(layer["attention"]["in_proj_bias"])
+        wp = np.zeros((3 * cpad, cpad), w.dtype)
+        bp = np.zeros((3 * cpad,), b.dtype)
+        for blk in range(3):
+            wp[blk * cpad + hidx, :creal] = w[blk * creal:(blk + 1) * creal]
+            bp[blk * cpad + hidx] = b[blk * creal:(blk + 1) * creal]
+        ok = np.asarray(layer["attention"]["out_proj"]["kernel"])
+        okp = np.zeros((cpad, cpad), ok.dtype)
+        okp[np.ix_(hidx, ar)] = ok
+        ca[f"ca_{i}"] = {
+            "norm_q": ln(layer["norm_q"], cpad),
+            "norm_kv": ln(layer["norm_kv"], cpad),
+            "attention": {
+                "in_proj_weight": wp,
+                "in_proj_bias": bp,
+                "out_proj": {
+                    "kernel": okp,
+                    "bias": tail(layer["attention"]["out_proj"]["bias"],
+                                 0, cpad)},
+            },
+        }
+        ff = ca_in[f"ff_{i}"]
+        ca[f"ff_{i}"] = {
+            "norm": ln(ff["norm"], cpad),
+            "fc1": {"kernel": tail(ff["fc1"]["kernel"], 0, cpad),
+                    "bias": np.asarray(ff["fc1"]["bias"])},
+            "fc2": {"kernel": tail(ff["fc2"]["kernel"], 1, cpad),
+                    "bias": tail(ff["fc2"]["bias"], 0, cpad)},
+        }
+    p["ca_transformer"] = ca
+    fc = params["final_conv"]
+    p["final_conv"] = {"kernel": tail(fc["kernel"], 2, cpad),
+                       "bias": np.asarray(fc["bias"])}
+    return p
+
+
 def convert_reference_checkpoint(torch_checkpoint: Mapping) -> Dict:
     """Convert a reference-trained iSegProbe checkpoint
     ({'state_dict', 'config'} — reference: core/utils/misc.py:36-68) into this

@@ -27,15 +27,34 @@ from isegprobe_tpu.models.vit import mm_precision
 from isegprobe_tpu.ops.attention import mha
 
 
+def _pad_mask(dim: int, real: int) -> jnp.ndarray | None:
+    """Channel mask for MXU-padded activations: statistics cover only the
+    first ``real`` of ``dim`` channels; the rest are alignment zeros. flax's
+    LayerNorm takes the mask natively (``x.mean(where=mask)``), so the masked
+    statistics are arithmetically identical to the unpadded layer's — exact
+    zeros in the padded tail contribute nothing to either sum, and the divisor
+    is the ``real`` count in both."""
+    if real in (0, dim):
+        return None
+    return jnp.arange(dim) < real
+
+
 class ChannelNorm(nn.Module):
-    """LayerNorm over the channel axis (reference: loftup/layers.py:26-35)."""
+    """LayerNorm over the channel axis (reference: loftup/layers.py:26-35).
+
+    ``real``: when the input carries MXU-alignment zero padding, the number of
+    real channels (statistics masked to them; padded scale/bias are zero, so
+    padded outputs stay exactly zero)."""
 
     dim: int
     dtype: Any = jnp.float32
+    real: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        mask = _pad_mask(x.shape[-1], self.real)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(
+            x, mask=mask)
 
 
 class ConvNeXtLayerNorm(nn.Module):
@@ -142,17 +161,27 @@ class ImplicitFeaturizer(nn.Module):
 class _TorchMHA(nn.Module):
     """torch.nn.MultiheadAttention-compatible cross-attention (packed in_proj;
     head_dim = dim // heads regardless of the dim_head arg, which the
-    reference passes but torch ignores)."""
+    reference passes but torch ignores).
+
+    ``real_dim``: set when ``dim`` is the MXU-padded width (512 for the
+    reference's 404). The packed weights are then stored head-interleaved
+    (convert.pad_loftup_params): head h's real rows sit at
+    ``h*dh_pad .. h*dh_pad + dh_real``, the rest are zero, so the plain
+    reshape below lands each head's channels (plus exact-zero padding) in its
+    own padded head slot. The softmax scale stays the REAL head dim's — the
+    zero q/k tail contributes nothing to the logits."""
 
     dim: int
     heads: int
     attn_impl: str = "auto"
     dtype: Any = jnp.float32
+    real_dim: int = 0
 
     @nn.compact
     def __call__(self, q_in, kv_in):
         d = self.dim
         dh = d // self.heads
+        real_dh = (self.real_dim or d) // self.heads
         in_w = self.param("in_proj_weight",
                           nn.initializers.xavier_uniform(), (3 * d, d))
         in_b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,))
@@ -170,7 +199,7 @@ class _TorchMHA(nn.Module):
         q = q.reshape(bq, nq, self.heads, dh)
         k = k.reshape(bq, nk, self.heads, dh)
         v = v.reshape(bq, nk, self.heads, dh)
-        out = mha(q, k, v, scale=dh**-0.5, impl=self.attn_impl)
+        out = mha(q, k, v, scale=real_dh**-0.5, impl=self.attn_impl)
         out = out.reshape(bq, nq, d)
         return nn.Dense(d, dtype=self.dtype,
                         precision=mm_precision(self.dtype), name="out_proj")(out)
@@ -181,24 +210,31 @@ class CrossAttentionLayer(nn.Module):
     heads: int
     attn_impl: str = "auto"
     dtype: Any = jnp.float32
+    real_dim: int = 0
 
     @nn.compact
     def __call__(self, query, key_value):
-        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_q")(query)
-        kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_kv")(key_value)
+        mask = _pad_mask(self.dim, self.real_dim)
+        q = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_q")(
+            query, mask=mask)
+        kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_kv")(
+            key_value, mask=mask)
         return _TorchMHA(self.dim, self.heads, self.attn_impl,
-                         dtype=self.dtype, name="attention")(q, kv)
+                         dtype=self.dtype, real_dim=self.real_dim,
+                         name="attention")(q, kv)
 
 
 class _FeedForward(nn.Module):
     dim: int
     hidden_dim: int
     dtype: Any = jnp.float32
+    real_dim: int = 0
 
     @nn.compact
     def __call__(self, x):
         prec = mm_precision(self.dtype)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(
+            x, mask=_pad_mask(self.dim, self.real_dim))
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, precision=prec,
                      name="fc1")(x)
         x = jax.nn.gelu(x, approximate=False)
@@ -213,6 +249,7 @@ class CATransformer(nn.Module):
     mlp_dim: int
     attn_impl: str = "auto"
     dtype: Any = jnp.float32
+    real_dim: int = 0
 
     @nn.compact
     def __call__(self, query, key_value):
@@ -221,10 +258,13 @@ class CATransformer(nn.Module):
         for i in range(self.depth):
             query = CrossAttentionLayer(self.dim, self.heads, self.attn_impl,
                                         dtype=self.dtype,
+                                        real_dim=self.real_dim,
                                         name=f"ca_{i}")(query, key_value) + query
             query = _FeedForward(self.dim, self.mlp_dim, dtype=self.dtype,
+                                 real_dim=self.real_dim,
                                  name=f"ff_{i}")(query) + query
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(query)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(
+            query, mask=_pad_mask(self.dim, self.real_dim))
 
 
 class _ConvBNRelu(nn.Module):
@@ -269,6 +309,16 @@ class LoftUpUpsampler(nn.Module):
     # (the HBM bound at 448² training) and runs the cross-attention one-pass
     # on the MXU. Fourier phases stay f32 (see ImplicitFeaturizer.dtype).
     dtype: Any = jnp.float32
+    # MXU-aligned zero-padded channel layout (serving): widths pad to the
+    # next lane multiple (cdim 404->512, stem 203->256, head dim 101->128),
+    # with every weight zero-padded at convert time
+    # (models/convert.py:pad_loftup_params) so the result is exact by
+    # construction — zero rows/cols contribute nothing, and the masked
+    # LayerNorm statistics cover only real channels. Removes the ~27% MXU
+    # tile waste of K=203/404 contractions and the dh=101->128 attention
+    # padding identified in docs/PERF.md. Params stored PADDED when set; use
+    # pad_loftup_params on an unpadded checkpoint/init tree first.
+    mxu_pad: bool = False
 
     def setup(self):
         # setup-style (attribute name == param scope name, matching the
@@ -277,21 +327,38 @@ class LoftUpUpsampler(nn.Module):
         # cross-attention residuals at once and OOMs HBM; with remat the
         # backward recomputes one slab at a time.
         dim = self.n_dim
-        self._cdim = dim + 2 * 5 * 2  # + sine PE (no color, n_freqs=5)
+
+        def _align(n: int) -> int:
+            return ((n + 127) // 128) * 128 if self.mxu_pad else n
+
+        creal = dim + 2 * 5 * 2  # + sine PE (no color, n_freqs=5)
+        stem_real = 2 * self.n_freqs * 5 + 3
+        self._creal = creal
+        self._cdim = _align(creal)
+        self._stem_real = stem_real
+        self._stem = _align(stem_real)
+        real = creal if self.mxu_pad else 0
         self.channelnorm = ChannelNorm(dim, dtype=self.dtype)
         self.lr_pe = ImplicitFeaturizer(False, 5, True, dtype=self.dtype)
         self.fourier_feat = ImplicitFeaturizer(True, self.n_freqs, True,
                                                dtype=self.dtype)
-        self.first_norm = ChannelNorm(2 * self.n_freqs * 5 + 3,
-                                      dtype=self.dtype)
+        self.first_norm = ChannelNorm(self._stem, dtype=self.dtype,
+                                      real=stem_real if self.mxu_pad else 0)
         self.first_conv1 = _ConvBNRelu(self._cdim, dtype=self.dtype)
         self.first_conv2 = _ConvBNRelu(self._cdim, dtype=self.dtype)
         self.ca_transformer = CATransformer(
             self._cdim, self.num_layers, self.num_heads, dim, self.attn_impl,
-            dtype=self.dtype)
+            dtype=self.dtype, real_dim=real)
         self.final_conv = nn.Conv(dim, (1, 1), dtype=self.dtype,
                                   precision=mm_precision(self.dtype))
         self.final_ln = ConvNeXtLayerNorm(dim, dtype=self.dtype)
+
+    def _pad_ch(self, x: jnp.ndarray, to: int) -> jnp.ndarray:
+        """Zero-pad the channel axis to the MXU-aligned width (no-op unpadded)."""
+        if x.shape[-1] == to:
+            return x
+        widths = [(0, 0)] * (x.ndim - 1) + [(0, to - x.shape[-1])]
+        return jnp.pad(x, widths)
 
     def _slab(self, x_rows, kv, row_coords, in_frame):
         """Query tower for one horizontal slab (+2-row halo): Fourier stem ->
@@ -299,7 +366,8 @@ class LoftUpUpsampler(nn.Module):
         monolithic convs' zero padding) -> cross-attention -> head."""
         b = x_rows.shape[0]
         w = x_rows.shape[2]
-        xb = self.fourier_feat(x_rows, row_coords=row_coords)
+        xb = self._pad_ch(self.fourier_feat(x_rows, row_coords=row_coords),
+                          self._stem)
         xb = self.first_norm(xb)
         xb = xb * in_frame[None, :, None, None]
         xb = self.first_conv1(xb)[:, 1:-1] * in_frame[1:-1][None, :, None, None]
@@ -324,7 +392,7 @@ class LoftUpUpsampler(nn.Module):
 
         # keys/values from LR features + sine positional features
         lr_pe = self.lr_pe(source)
-        kv = jnp.concatenate([source, lr_pe], axis=-1)
+        kv = self._pad_ch(jnp.concatenate([source, lr_pe], axis=-1), cdim)
         b = source.shape[0]
         kv = kv.reshape(b, -1, cdim)
 
@@ -340,7 +408,7 @@ class LoftUpUpsampler(nn.Module):
         )
 
         if not use_bands:
-            x = self.fourier_feat(x_scaled)
+            x = self._pad_ch(self.fourier_feat(x_scaled), self._stem)
             x = self.first_norm(x)
             x = self.first_conv1(x)
             x = self.first_conv2(x)

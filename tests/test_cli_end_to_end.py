@@ -313,6 +313,85 @@ def test_evaluate_main_int8(fixture_dataset, fixture_checkpoint, tmp_path,
     assert "GrabCut" in results and "NoC@80%" in results
 
 
+def test_evaluate_loftup_mxu_pad_load_path(tmp_path):
+    """load_model_for_eval must apply the MXU-padded LoftUp layout by default
+    (eval_cfg.mxu_pad, VERDICT r4 #1) AFTER the unpadded PRNGKey(0)
+    init+merge — so the deterministic init stream behind every committed NoC
+    table is unchanged — and the padded model's forward must equal the
+    unpadded one's."""
+    import importlib.util
+
+    import jax
+    import numpy as np
+
+    from isegprobe_tpu.models.probe_model import (
+        filter_state_dict,
+        iSegProbeModel,
+    )
+    from isegprobe_tpu.utils.serialization import model_config, save_checkpoint
+
+    repo = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "isegprobe_evaluate_cli_mxupad", repo / "evaluate.py")
+    evaluate = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(evaluate)
+
+    model = iSegProbeModel(
+        backbone_cfg=dict(type="dinov2",
+                          params=dict(feats_injection_mode="before_backbone")),
+        embed_coords_cfg=dict(
+            type="patchEmbed",
+            params=dict(img_size=(112, 112), patch_size=(14, 14),
+                        embed_dim=384)),
+        head_cfg=dict(type="convhead",
+                      params=dict(in_channels=384, num_layers=1,
+                                  num_classes=1)),
+        upsampler_cfg=dict(type="loftup",
+                           params=dict(n_dim=384, attn_impl="jnp")),
+        save_cfg=dict(embed_coords=True, backbone=False, upsampler=False,
+                      head=True),
+        use_disks=True, norm_radius=5, with_prev_mask=True, attn_impl="jnp",
+    )
+    image = np.zeros((1, 112, 112, 4), dtype=np.float32)
+    points = np.full((1, 4, 3), -1.0, dtype=np.float32)
+    params = model.init(jax.random.PRNGKey(0), image, points)["params"]
+    ckpt = tmp_path / "loftup.ckpt"
+    save_checkpoint(filter_state_dict(params, model.save_cfg),
+                    model_config(model), ckpt)
+
+    class _EC(dict):
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    # forced-on padded load (f32 so the parity check below is tight)
+    m_pad, p_pad = evaluate.load_model_for_eval(
+        str(ckpt), _EC(mxu_pad=True), target_size=(112, 112))
+    attn = p_pad["upsampler"]["ca_transformer"]["ca_0"]["attention"]
+    assert np.asarray(attn["in_proj_weight"]).shape == (3 * 512, 512)
+    assert m_pad.upsampler_cfg["params"]["mxu_pad"] is True
+
+    # 'auto' default: OFF for f32 (the exact-parity dtype)...
+    m_raw, p_raw = evaluate.load_model_for_eval(
+        str(ckpt), _EC(), target_size=(112, 112))
+    attn_raw = p_raw["upsampler"]["ca_transformer"]["ca_0"]["attention"]
+    assert np.asarray(attn_raw["in_proj_weight"]).shape == (3 * 404, 404)
+
+    # ...and ON for the bf16 serving dtype
+    m_bf, p_bf = evaluate.load_model_for_eval(
+        str(ckpt), _EC(dtype="bfloat16"), target_size=(112, 112))
+    attn_bf = p_bf["upsampler"]["ca_transformer"]["ca_0"]["attention"]
+    assert np.asarray(attn_bf["in_proj_weight"]).shape == (3 * 512, 512)
+
+    rng = np.random.default_rng(3)
+    img = rng.random((1, 112, 112, 4), dtype=np.float32)
+    pts = np.full((1, 8, 3), -1.0, np.float32)
+    pts[0, 0] = [60.0, 50.0, 0.0]
+    want = m_raw.apply({"params": p_raw}, img, pts)["instances"]
+    got = m_pad.apply({"params": p_pad}, img, pts)["instances"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_config_overrides():
     from isegprobe_tpu.utils.config import EDict, apply_overrides
 

@@ -90,6 +90,51 @@ def test_loftup_parity():
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
+    # the MXU-padded serving layout must hit the same torch golden
+    from isegprobe_tpu.models.convert import pad_loftup_params
+
+    jp = LoftUpUpsampler(n_dim=dim, attn_impl="jnp", mxu_pad=True)
+    padded = pad_loftup_params(params, n_dim=dim)
+    gotp = np.asarray(jp.apply({"params": padded}, jnp.asarray(src),
+                               jnp.asarray(img)))
+    np.testing.assert_allclose(gotp, want, rtol=2e-3, atol=2e-3)
+
+
+def test_loftup_mxu_pad_exact():
+    """The MXU-aligned zero-padded channel layout (convert-time
+    pad_loftup_params + mxu_pad=True — cdim/stem/head-dim padded to lane
+    multiples, packed attention weights head-interleaved, masked LayerNorm
+    statistics) must reproduce the unpadded forward exactly, in both the
+    monolithic and the banded query paths (VERDICT r4 #1)."""
+    from isegprobe_tpu.models.convert import pad_loftup_params
+
+    dim = 32
+    rng = np.random.default_rng(9)
+    src = jnp.asarray(rng.standard_normal((2, 4, 4, dim), dtype=np.float32))
+    img = jnp.asarray(rng.random((2, 56, 56, 3), dtype=np.float32))
+
+    plain = LoftUpUpsampler(n_dim=dim, attn_impl="jnp", query_chunk_rows=0)
+    p0 = plain.init(jax.random.PRNGKey(6), src, img)["params"]
+    want = np.asarray(plain.apply({"params": p0}, src, img))
+
+    pp = pad_loftup_params(p0, n_dim=dim)
+    padded = LoftUpUpsampler(n_dim=dim, attn_impl="jnp", query_chunk_rows=0,
+                             mxu_pad=True)
+    # the transform must land exactly on the padded module's init shapes
+    init_shapes = jax.tree.map(
+        lambda x: x.shape,
+        padded.init(jax.random.PRNGKey(0), src, img)["params"])
+    got_shapes = jax.tree.map(lambda x: np.asarray(x).shape, pp)
+    assert init_shapes == got_shapes
+    got = np.asarray(padded.apply({"params": pp}, src, img))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # banded query path under padding (the 448² serving configuration)
+    banded = LoftUpUpsampler(n_dim=dim, attn_impl="jnp", query_chunk_rows=16,
+                             query_chunk_min_pixels=0, mxu_pad=True)
+    gotb = np.asarray(banded.apply({"params": pp}, src, img))
+    np.testing.assert_allclose(gotb, want, rtol=2e-5, atol=2e-5)
+
 
 def test_loftup_banded_queries_exact():
     """The banded query path (auto-enabled at 448² eval so HBM holds

@@ -151,6 +151,16 @@ def load_model_for_eval(checkpoint_path: str, eval_cfg, target_size=(448, 448)):
     points = np.full((1, 40, 3), -1.0, dtype=np.float32)
     full = model.init(jax.random.PRNGKey(0), image, points)["params"]
     params = merge_params(full, params)
+    # frozen-upsampler weights from the config's upsampler_path (the
+    # reference loads these at model build: model_builder.py:59-76 ->
+    # loftup/loftup.py:152-177 key surgery / LiFT.py:125-136) — checkpoints
+    # exclude frozen modules via save_cfg, so eval must re-load them
+    from isegprobe_tpu.models.convert import load_upsampler_params
+
+    up_loaded = load_upsampler_params(config["params"].get("upsampler_cfg"))
+    if up_loaded is not None:
+        params = dict(params)
+        params["upsampler"] = merge_params(params["upsampler"], up_loaded)
     # MXU-aligned LoftUp serving layout: zero-pad every stem/cross-attention
     # weight to lane multiples (cdim 404->512, head dim 101->128 — exact by
     # construction, models/convert.py:pad_loftup_params) after the UNPADDED

@@ -128,6 +128,56 @@ def convert_loftup(upsampler_sd: Mapping, channelnorm_sd: Mapping,
     }
 
 
+def convert_loftup_raw(state_dict: Mapping, num_layers: int = 2) -> Dict:
+    """Raw (pre-surgery) LoftUp training checkpoint -> LoftUpUpsampler params.
+
+    Applies the reference loader's key surgery (loftup/loftup.py:152-177):
+    the ChannelNorm lives under ``model.1.`` and the upsampler under
+    ``upsampler.`` in checkpoints the LoftUp training code writes."""
+    sd = dict(state_dict)
+    channelnorm_sd = {k.removeprefix("model.1."): v
+                      for k, v in sd.items() if "model.1" in k}
+    upsampler_sd = {k.removeprefix("upsampler."): v
+                    for k, v in sd.items() if k.startswith("upsampler")}
+    return convert_loftup(upsampler_sd, channelnorm_sd, num_layers=num_layers)
+
+
+def load_upsampler_params(upsampler_cfg: Mapping | None):
+    """Load + convert the frozen upsampler weights referenced by the config's
+    ``upsampler_path`` (the reference loads them at model build time:
+    core/model/upsamplers/LoftUp.py:10-24 -> loftup/loftup.py:152-177 with
+    key surgery; LiFT.py:125-136 with the ``module.`` strip). Accepts either
+    this framework's .msgpack (scripts/convert_weights.py output) or a raw
+    torch checkpoint, converted here. Returns None when no path is
+    configured or the file does not exist (random-init frozen upsampler —
+    the offline training demos run this way)."""
+    from pathlib import Path
+
+    utype = str((upsampler_cfg or {}).get("type", "")).lower()
+    uparams = (upsampler_cfg or {}).get("params") or {}
+    path = uparams.get("upsampler_path")
+    if not path or utype not in ("loftup", "lift"):
+        return None
+    p = Path(str(path))
+    if not p.exists():
+        return None
+    if p.suffix == ".msgpack":
+        from flax import serialization as flax_serialization
+
+        return flax_serialization.msgpack_restore(p.read_bytes())
+    import torch
+
+    obj = torch.load(p, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if utype == "lift":
+        return convert_lift(obj)
+    return convert_loftup_raw(obj,
+                              num_layers=int(uparams.get("num_layers", 2)))
+
+
 def pad_loftup_params(params: Mapping, n_dim: int = 384, n_freqs: int = 20,
                       heads: int = 4, num_layers: int = 2) -> Dict:
     """Zero-pad LoftUp params to the MXU-aligned channel layout.

@@ -272,8 +272,23 @@ class iSegTrainer:
                 trainable_prefixes=("embed_coords", "head", "neck"),
                 **self._opt_kwargs,
             )
-        self.params = replicate({"trainable": trainable, "frozen": frozen},
-                                self.mesh)
+        if self.mesh.shape.get("model", 1) > 1:
+            # 2D (data, model) mesh: ViT-block kernels shard over the model
+            # axis under the Megatron column/row rules (parallel/tp.py);
+            # everything else — and therefore the probing setup's trainable
+            # head/click-encoder — stays replicated. The compiled step runs
+            # unchanged: GSPMD propagates the shardings through forward,
+            # backward, and the optimizer update, inserting the per-block
+            # psum pairs (gradient correctness vs the DP-only step is pinned
+            # in tests/test_tensor_parallel.py).
+            from isegprobe_tpu.parallel.tp import vit_param_shardings
+
+            tree = {"trainable": trainable, "frozen": frozen}
+            self.params = jax.tree.map(
+                jax.device_put, tree, vit_param_shardings(tree, self.mesh))
+        else:
+            self.params = replicate(
+                {"trainable": trainable, "frozen": frozen}, self.mesh)
         self.opt_state = replicate(self.tx.init(trainable), self.mesh)
         self.rng = jax.random.PRNGKey(self.seed + 1)
 
@@ -336,6 +351,17 @@ class iSegTrainer:
                     "PRETRAINED_MODELS.%s=%s not found; backbone stays "
                     "random-initialized", key, path,
                 )
+        # frozen-upsampler weights from upsampler_path (the reference loads
+        # them at model build: core/utils/model_builder.py:59-76 with the
+        # LoftUp key surgery / LiFT module. strip; see models/convert.py)
+        from isegprobe_tpu.models.convert import load_upsampler_params
+
+        up_loaded = load_upsampler_params(
+            getattr(self.model, "upsampler_cfg", None))
+        if up_loaded is not None:
+            params = dict(params)
+            params["upsampler"] = merge_params(params["upsampler"], up_loaded)
+            logger.info("Loaded frozen upsampler weights from upsampler_path")
         return params
 
     # ------------------------------------------------------------------

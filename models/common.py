@@ -63,14 +63,22 @@ def train(model, cfg, dataset_fn=get_sbd_train_val_datasets) -> None:
     lr_scheduler = get_lr_scheduler(cfg)
 
     # training.n_devices=null means all visible devices (the trainer's own
-    # default mesh); an explicit count restricts the data-parallel mesh
+    # default mesh); an explicit count restricts the data-parallel mesh.
+    # training.model_parallel>1 carves a model axis out of those devices —
+    # a 2D (data, model) mesh with ViT blocks sharded Megatron-style
+    # (parallel/tp.py; the trainer places params accordingly)
     n_devices = (cfg.training.get("n_devices")
                  if hasattr(cfg.training, "get") else None)
+    model_parallel = int(
+        (cfg.training.get("model_parallel")
+         if hasattr(cfg.training, "get") else None) or 1)
     mesh = None
-    if n_devices:
+    if n_devices or model_parallel > 1:
         from isegprobe_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(n_devices=int(n_devices))
+        mesh = make_mesh(
+            n_devices=int(n_devices) if n_devices else None,
+            model_parallel=model_parallel)
 
     trainer = iSegTrainer(
         model,

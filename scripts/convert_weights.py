@@ -59,14 +59,7 @@ def main():
     elif args.kind == "loftup":
         # raw LoftUp checkpoints pack ChannelNorm under 'model.1.' and the
         # upsampler under 'upsampler.' (reference: loftup/loftup.py:152-177)
-        channelnorm_sd = {
-            k.replace("model.1.", ""): v for k, v in sd.items() if "model.1" in k
-        }
-        upsampler_sd = {
-            k.replace("upsampler.", ""): v
-            for k, v in sd.items() if k.startswith("upsampler")
-        }
-        params = convert.convert_loftup(upsampler_sd, channelnorm_sd)
+        params = convert.convert_loftup_raw(sd)
     else:
         raise ValueError(args.kind)
 

@@ -66,9 +66,12 @@ def test_tokenizer_roundtrip_fuzz():
 
 @pytest.mark.skipif(not HAS_REF, reason="reference tree unavailable")
 def test_tokenizer_matches_reference():
-    ftfy = pytest.importorskip("ftfy")  # reference tokenizer hard-imports it
-    if not hasattr(ftfy, "fix_text"):
-        pytest.skip("ftfy stubbed by reference_oracle (package not installed)")
+    """Exact end-to-end parity with the reference SimpleTokenizer. Runs
+    WITHOUT ftfy installed (VERDICT r4 #8): reference_oracle equips the ftfy
+    stub with the vendored deterministic cleaner (fix_text_offline), so both
+    tokenizers clean through the identical pipeline — including the unicode
+    cases below that exercise the vendored NFC/ligature/width/quote rules
+    through the full BPE stack."""
     from core.model.featurizers.maskclip.simple_tokenizer import SimpleTokenizer
 
     from isegprobe_tpu.models.featurizers.clip_tokenizer import ClipTokenizer
@@ -77,7 +80,14 @@ def test_tokenizer_matches_reference():
     ours = ClipTokenizer(str(BPE_PATH))
     for text in ["a photo of a cat", "Hello, WORLD!! 42 foo-bar",
                  "the quick brown fox jumps over the lazy dog's tail",
-                 "unphotographable 12345 ... ???"]:
+                 "unphotographable 12345 ... ???",
+                 # vendored-cleaner coverage: curly quotes, NFD accents,
+                 # Latin ligatures, fullwidth forms, html entities,
+                 # control chars, mixed line breaks
+                 "“nice” photo of the café’s ﬁnest ﬂoor",
+                 "Ｆｕｌｌｗｉｄｔｈ ４２ &amp;amp; entities",
+                 "ctrl\x07chars\x1f and\r\nline breaks",
+                 "déjà vu été"]:
         assert ours.encode(text) == ref.encode(text), text
 
 

@@ -26,42 +26,54 @@ N_CLICKS = 30
 # MXU-anchor reference (VERDICT r4 #2): chip-day throughput drifts ±20-30%
 # across sessions (clock/tunnel — docs/PERF.md §EDT variance), so absolute
 # clicks/s from different rounds are not comparable raw. Every bench run now
-# measures a fixed [4096²]·[4096²] bf16 matmul chain (the proven anchor from
-# scripts/bench_edt_variance.py) BEFORE EACH trained leg and emits
-# anchor-normalized throughputs: cps_norm = cps * (ANCHOR_REF_TF_S / anchor).
-# The reference constant is the anchor on the round-5 measurement day; a
-# future run's normalized numbers are directly comparable to that day.
-ANCHOR_REF_TF_S = 160.0
+# measures a fixed [4096²]·[4096²] bf16 matmul chain BEFORE/AFTER each
+# trained leg and emits anchor-normalized throughputs:
+# cps_norm = cps * (ANCHOR_REF_TF_S / local anchor). The constant is the
+# round-5 measurement-day anchor (K-difference method, 191-192 TF/s across
+# repeats, ≈ the r3-calibrated ~190 TF/s practical bf16 peak); a future
+# run's normalized numbers are directly comparable to that day.
+ANCHOR_REF_TF_S = 191.0
 
 
-def measure_mxu_anchor(inner_n: int = 20, repeats: int = 5) -> float:
-    """Chip-throughput anchor: TF/s of a chained 4096³ bf16 matmul (serial
-    data dependency inside one program, so tunnel dispatch amortizes out).
-    Tracks the chip clock / backend health — kernel-independent."""
+def measure_mxu_anchor(repeats: int = 5) -> float:
+    """Chip-throughput anchor: TF/s of a chained 4096³ bf16 matmul, measured
+    by the K-DIFFERENCE method (wall(K2-chain) − wall(K1-chain)): the
+    dispatch + tunnel-fetch RTT appears in both walls and cancels, so the
+    figure is pure device throughput. (A single short chain measures the
+    ~30 ms tunnel RTT, not the chip — a 20-iter chain is only ~14 ms of
+    compute.) Tracks chip clock / backend health — kernel-independent."""
     import jax
     import jax.numpy as jnp
 
     from isegprobe_tpu.utils.misc import stamped
 
     n = 4096
+    k1, k2 = 40, 200
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((n, n)), jnp.bfloat16)
 
-    def anchor(a, b):
-        def body(_, x):
-            return jnp.matmul(x, b)
-        return jax.lax.fori_loop(0, inner_n, body, a)
+    def chain(k):
+        def anchor(a, b):
+            def body(_, x):
+                return jnp.matmul(x, b)
+            return jax.lax.fori_loop(0, k, body, a)
 
-    fn = jax.jit(stamped(anchor, ("bench_mxu_anchor", n)))
-    # force a host fetch: block_until_ready does not reliably block here
-    float(jnp.sum(fn(a, b).astype(jnp.float32)))  # compile+warm
-    times = []
-    for _ in range(repeats):
+        return jax.jit(stamped(anchor, ("bench_mxu_anchor", n, k)))
+
+    f1, f2 = chain(k1), chain(k2)
+
+    def wall(fn):
+        # force a host fetch: block_until_ready does not reliably block here
         t0 = time.perf_counter()
         float(jnp.sum(fn(a, b).astype(jnp.float32)))
-        times.append((time.perf_counter() - t0) / inner_n)
-    return float(2 * n ** 3 / np.median(times) / 1e12)
+        return time.perf_counter() - t0
+
+    wall(f1), wall(f2)  # compile + warm
+    diffs = []
+    for _ in range(repeats):
+        diffs.append(wall(f2) - wall(f1))
+    return float(2 * n ** 3 * (k2 - k1) / np.median(diffs) / 1e12)
 
 
 def build_predictor(dtype=None, injection="before_backbone"):
@@ -203,6 +215,46 @@ def measure_batched_throughput(batch_size: int = 8, dtype=None) -> float:
                                    batch_size=batch_size)
     dt = time.perf_counter() - t0
     return sum(len(a) for a in ious) / dt
+
+
+def measure_adaptive(batch_size: int = 8, target: int = 400,
+                     sample_hw=(375, 500), repeats: int = 3, dtype="bf16"):
+    """Compiled RITM adaptive-ZoomIn (cvpr) protocol throughput at
+    ``batch_size`` lanes (VERDICT r4 #3: the adaptive counterpart of the
+    fixed-mode clicks/s legs). Data-dependent crop sizes run on the static
+    canvas with per-lane traced valid rects (inference/adaptive_eval.py);
+    every lane runs the full 20 clicks (uniform work, like the fixed-mode
+    synthetic legs). Returns clicks/s."""
+    import jax.numpy as jnp
+
+    from isegprobe_tpu.inference.adaptive_eval import make_adaptive_evaluator
+    from isegprobe_tpu.inference.device_eval import _pad_job
+
+    predictor = build_predictor(jnp.bfloat16 if dtype == "bf16" else None)
+    img, gt = synthetic_sample(sample_hw)
+    image_pad, gt_pad, valid_hw = _pad_job(img, gt, 64)
+
+    run = make_adaptive_evaluator(
+        predictor.model, target_size=target,
+        frame_hw=image_pad.shape[:2], max_clicks=20, net_clicks_limit=20,
+        pred_thr=0.49, target_iou=1.01, with_flip=True, skip_clicks=1,
+        batch_size=batch_size,
+    )
+    imgs = np.broadcast_to(image_pad, (batch_size, *image_pad.shape)).copy()
+    gts = np.broadcast_to(gt_pad, (batch_size, *gt_pad.shape)).copy()
+    hws = np.tile(valid_hw, (batch_size, 1))
+    import jax
+
+    args = (predictor.params, np.asarray(imgs), np.asarray(gts),
+            np.asarray(hws))
+    ious, n = jax.device_get(run(*args))  # compile + warm
+    assert int(np.asarray(n).min()) == 20
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        ious, n = jax.device_get(run(*args))  # device_get = forced fetch
+        times.append(time.perf_counter() - t0)
+    return int(np.asarray(n).sum()) / float(np.median(times))
 
 
 def measure_trained_workload(batch_size: int = 8, n_samples: int = 24,
@@ -476,6 +528,17 @@ def main():
     clicks_per_s_bf16_b16 = measure_batched_throughput(16, dtype=jnp.bfloat16)
     # W8A8 dense layers on the int8 MXU (eval_cfg.dtype=int8, ops/quant.py)
     clicks_per_s_int8 = measure_batched_throughput(8, dtype="int8")
+    # compiled RITM adaptive (cvpr) protocol at batch 8 — the adaptive
+    # counterpart of the fixed-mode throughput story (VERDICT r4 #3)
+    try:
+        adaptive_cps = measure_adaptive(8)
+    except Exception as e:
+        import sys
+        import traceback
+
+        print(f"adaptive leg failed: {e!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+        adaptive_cps = None
     try:
         trained = measure_trained_workload()
     except Exception as e:
@@ -525,6 +588,8 @@ def main():
         "batched_bf16_clicks_per_s": round(clicks_per_s_bf16, 1),
         "batched_bf16_b16_clicks_per_s": round(clicks_per_s_bf16_b16, 1),
         "batched_int8_clicks_per_s": round(clicks_per_s_int8, 1),
+        "adaptive_bf16_b8_clicks_per_s": (
+            round(adaptive_cps, 1) if adaptive_cps else None),
         "bf16_p50_ms": round(bf16_ms, 3),
         "bf16_p95_ms": round(bf16_p95_ms, 3),
         "trunk_cached_bf16_p50_ms": round(cached_ms, 3),

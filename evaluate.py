@@ -490,9 +490,12 @@ def main() -> None:
                     all_ious = evaluate_dataset_group(
                         run, params, dataset, sample_times=sample_times,
                         stats=refill_stats, devices=refill_devices,
-                        # bound staged-frame HBM per dispatch (0 = whole
-                        # shape group): HBM-edge models like 448² LoftUp
-                        # need ~24 (BASELINE.md known limitation)
+                        # staging-window size (frames resident per compiled
+                        # program; lane state carries across windows so
+                        # switches cost a dispatch, not a drain — round 5);
+                        # 0 = default 32. Bounds staged-frame HBM by
+                        # construction (the full-78-frame LoftUp staging
+                        # faulted the worker, scripts/repro_group_fault.py)
                         max_jobs_per_dispatch=int(
                             eval_cfg.get("group_max_jobs", 0)),
                     )

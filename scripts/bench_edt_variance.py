@@ -7,7 +7,12 @@ separates the two candidate causes:
 
   * chip-global clock/throughput drift (tunnel-attached chip, shared host):
     measured by an MXU anchor — a fixed [4096,4096]x[4096,4096] bf16 matmul
-    whose TF/s tracks the chip clock;
+    whose TF/s tracks the chip clock. NOTE (round 5): this script's inline
+    anchor divides a SINGLE 20-iter chain's wall by 20, so the ~30 ms tunnel
+    RTT pollutes the absolute TF/s (reads 50-70 where the chip is at ~191);
+    the RATIO below is still valid (both kernels carry the same RTT share).
+    For absolute chip throughput use bench.measure_mxu_anchor (K-difference,
+    RTT cancels);
   * kernel-specific variance (layout/scheduling nondeterminism across
     compiles): the EDT/anchor RATIO is invariant to clock drift, so ratio
     movement across sessions means the EDT binary itself changed.

@@ -445,17 +445,18 @@ def main() -> None:
 
                         mesh = make_mesh()
                 if adaptive_device:
-                    if device_refill or mesh is not None:
+                    if mesh is not None:
                         logger.warning(
-                            "adaptive (RITM cvpr) device eval is lockstep "
-                            "single-chip; ignoring device_refill/device_mesh")
-                        device_refill = False
+                            "adaptive (RITM cvpr) device eval is "
+                            "single-chip; ignoring device_mesh")
+                        mesh = None
                     from isegprobe_tpu.inference.adaptive_eval import (
+                        make_adaptive_group_runner,
                         make_adaptive_runner,
                     )
 
-                    run = make_adaptive_runner(
-                        model, target_size=zoomin_params["target_size"],
+                    adaptive_kw = dict(
+                        target_size=zoomin_params["target_size"],
                         batch_size=device_batch,
                         max_clicks=eval_cfg.n_clicks,
                         net_clicks_limit=(eval_cfg.clicks_limit
@@ -466,6 +467,12 @@ def main() -> None:
                         with_flip=True,
                         skip_clicks=zoomin_params["skip_clicks"],
                     )
+                    # device_refill composes with the adaptive protocol
+                    # through the shared windowed job queue (round 5)
+                    if device_refill == "device":
+                        run = make_adaptive_group_runner(model, **adaptive_kw)
+                    else:
+                        run = make_adaptive_runner(model, **adaptive_kw)
                 else:
                     run = make_device_evaluator(
                         model, target_size=zoomin_params["target_size"],

@@ -81,6 +81,7 @@ def make_adaptive_evaluator(
     min_crop_size: int = 200,
     recompute_thresh_iou: float = 0.5,
     batch_size: int = 1,
+    group_api: bool = False,
 ):
     """Build a jitted ``run(params, images, gts, valid_hws)`` for the
     adaptive protocol. ``target_size``: the SCALAR RITM target (600 for
@@ -88,11 +89,20 @@ def make_adaptive_evaluator(
     padded frame shape the caller ships ([B, hp, wp, 3] uint8/f32). The
     model canvas is ``ceil14(max(frame, target))`` per axis. Returns
     (ious [B, max_clicks], n [B]).
+
+    ``group_api``: windowed continuous batching — the adaptive protocol
+    through the same on-device job queue as the fixed-mode evaluator
+    (device_eval.make_windowed_group_evaluator): finished lanes refill from
+    staged job frames instead of idling until the batch's slowest sample,
+    with lane state carried across window dispatches. Returns a
+    ``_GroupEvaluator`` for ``evaluate_dataset_group``.
     """
     if skip_clicks < 0:
         raise NotImplementedError(
             "skip_clicks < 0 is the fixed-crop protocol — use "
             "make_device_evaluator")
+    if group_api and batch_size <= 1:
+        raise ValueError("group_api requires batch_size > 1")
     hp, wp = frame_hw
     patch = _backbone_patch(model)
     ch = _ceil_to(max(hp, target_size), patch)
@@ -345,6 +355,25 @@ def make_adaptive_evaluator(
         st = jax.lax.while_loop(_cond, lambda s: _body(params, s), st)
         return st["ious"], st["n"]
 
+    if group_api:
+        from isegprobe_tpu.inference.device_eval import (
+            make_windowed_group_evaluator,
+        )
+
+        def _init_state(params, imgs, gts, hws):
+            del params  # the adaptive protocol caches nothing at init
+            return jax.vmap(_init_lane)(imgs, gts, hws)
+
+        return make_windowed_group_evaluator(
+            init_state=_init_state,
+            init_lane=_init_lane,
+            body_fn=_body,
+            cond_fn=_cond,
+            batch_size=batch_size,
+            max_clicks=max_clicks,
+            cfg_salt=cfg_salt + ("group",),
+        )
+
     if batch_size == 1:
         def run_one(params, image, gt_pad, valid_hw):
             ious, n = run_adaptive(
@@ -375,3 +404,40 @@ def make_adaptive_runner(model, target_size: int, batch_size: int = 1,
         return cache[frame](params, images, gts, hws)
 
     return run
+
+
+class _LazyAdaptiveGroup:
+    """Shape-lazy windowed-group adaptive evaluator: one compiled group
+    evaluator per distinct padded frame shape (the canvas geometry is baked
+    per shape), drop-in ``ev`` for ``evaluate_dataset_group`` — every job
+    group the host driver forms is same-shape by construction."""
+
+    def __init__(self, model, target_size: int, batch_size: int,
+                 protocol_kw: dict):
+        self._model = model
+        self._target = target_size
+        self._kw = dict(protocol_kw)
+        self._cache: dict = {}
+        self.batch_size = batch_size
+        self.max_clicks = int(self._kw.get("max_clicks", 20))
+
+    def _for(self, frame):
+        if frame not in self._cache:
+            self._cache[frame] = make_adaptive_evaluator(
+                self._model, target_size=self._target, frame_hw=frame,
+                batch_size=self.batch_size, group_api=True, **self._kw)
+        return self._cache[frame]
+
+    def init(self, params, imgs, gts, hws):
+        return self._for(tuple(imgs.shape[1:3])).init(params, imgs, gts, hws)
+
+    def run(self, params, st, q, imgs, gts, hws, n_valid, win_base):
+        return self._for(tuple(imgs.shape[1:3])).run(
+            params, st, q, imgs, gts, hws, n_valid, win_base)
+
+
+def make_adaptive_group_runner(model, target_size: int, batch_size: int,
+                               **protocol_kw):
+    """Windowed continuous batching for the adaptive RITM protocol (the
+    fixed-mode ``device_refill=true`` counterpart)."""
+    return _LazyAdaptiveGroup(model, target_size, batch_size, protocol_kw)

@@ -69,6 +69,123 @@ class _GroupEvaluator:
         self.init = init
 
 
+def make_windowed_group_evaluator(
+    *,
+    init_state,
+    init_lane,
+    body_fn,
+    cond_fn,
+    batch_size: int,
+    max_clicks: int,
+    cfg_salt,
+    poison_trunk: bool = False,
+):
+    """Windowed continuous batching (round 5, VERDICT r4 #4), generic over a
+    protocol: the compiled program stages only a WINDOW of job frames —
+    bounded HBM by construction (the full-78-job LoftUp staging faulted the
+    TPU worker, BASELINE.md) — and the host chains dispatches with the LANE
+    STATE CARRIED ACROSS them: when the on-device queue wants a job beyond
+    the window, the program raises ``want_refill`` and returns at the next
+    click boundary; the next dispatch (its window already uploaded behind
+    the running compute) resumes every mid-protocol lane exactly where it
+    paused. No straggler drain at window boundaries.
+
+    Protocol closures: ``init_state(params, imgs, gts, hws) -> st`` (batch
+    lane state), ``init_lane(img, gt, hw) -> lane state`` (vmapped for
+    refills), ``body_fn(params, st) -> st`` (one click for every active
+    lane), ``cond_fn(st) -> bool`` (any lane still active).
+    ``poison_trunk``: reset refilled lanes' cached-trunk ROI so the next
+    click recomputes the trunk (the fixed-mode late-injection cache).
+    Used by both the fixed-ZoomIn evaluator (make_device_evaluator
+    group_api) and the adaptive RITM evaluator (adaptive_eval group_api).
+    """
+
+    def _jobs_in(st, q, want, win_imgs, win_gts, win_hws, n_valid, win_base):
+        """Hand out jobs from the staged window to lanes in ``want`` (lane
+        order). A lane whose next job lies beyond the window parks (job_id
+        stays at the scratch row) and raises ``want_refill``."""
+        W = win_imgs.shape[0]
+        cand = q["next_job"] + jnp.cumsum(want.astype(jnp.int32)) - 1
+        in_sweep = cand < n_valid
+        take = want & in_sweep & (cand < win_base + W)
+        rel = jnp.clip(cand - win_base, 0, W - 1)
+        fresh = jax.vmap(init_lane)(
+            jnp.take(win_imgs, rel, axis=0),
+            jnp.take(win_gts, rel, axis=0),
+            jnp.take(win_hws, rel, axis=0),
+        )
+        out = dict(st)
+        for k, v in fresh.items():
+            mask = take.reshape((-1,) + (1,) * (v.ndim - 1))
+            out[k] = jnp.where(mask, v, st[k])
+        if poison_trunk:
+            # poison refilled lanes' cached-trunk ROI so the next click's
+            # batch-global predicate recomputes the trunk
+            out["trunk_roi"] = jnp.where(take[:, None], -1, out["trunk_roi"])
+        q2 = dict(
+            q,
+            job_id=jnp.where(take, cand, q["job_id"]),
+            next_job=q["next_job"] + jnp.sum(take.astype(jnp.int32)),
+            want_refill=q["want_refill"] | jnp.any(want & in_sweep & ~take),
+        )
+        return out, q2
+
+    def run_window(params, st, q, win_imgs, win_gts, win_hws, n_valid,
+                   win_base):
+        sent = q["out_ious"].shape[0] - 1  # scratch row for idle writes
+
+        def body(carry):
+            st, q = carry
+            new = body_fn(params, st)
+            active = (~st["done"]) & (st["n"] < max_clicks)
+            fin = active & (new["done"] | (new["n"] >= max_clicks))
+            # results out: finished lanes write their job's row; the rest
+            # target the scratch row (duplicate writes collide only there,
+            # harmlessly)
+            tgt = jnp.where(fin, q["job_id"], sent)
+            q2 = dict(
+                q,
+                out_ious=q["out_ious"].at[tgt].set(new["ious"]),
+                out_n=q["out_n"].at[tgt].set(new["n"]),
+                job_id=jnp.where(fin, sent, q["job_id"]),
+            )
+            # The job hand-out is UNCONDITIONAL — a lax.cond around the
+            # harvest + the banded-LoftUp slab graph reproducibly FAULTED
+            # the TPU worker (round-4 bisection, BASELINE.md;
+            # scripts/repro_group_fault.py).
+            return _jobs_in(new, q2, fin, win_imgs, win_gts, win_hws,
+                            n_valid, win_base)
+
+        def cond(carry):
+            st, q = carry
+            return cond_fn(st) & ~q["want_refill"]
+
+        # prologue: reset the refill latch, then fill parked lanes from the
+        # fresh window — covers both the chain start (init parks every lane)
+        # and a mid-sweep window switch
+        q = dict(q, want_refill=jnp.zeros((), jnp.bool_))
+        sent_arr = jnp.asarray(sent, q["job_id"].dtype)
+        st, q = _jobs_in(st, q, q["job_id"] == sent_arr, win_imgs, win_gts,
+                         win_hws, n_valid, win_base)
+        return jax.lax.while_loop(cond, body, (st, q))
+
+    def init_group(params, win_imgs, win_gts, win_hws):
+        b = batch_size
+        st = init_state(params, win_imgs[:b], win_gts[:b], win_hws[:b])
+        # every lane starts parked; run_window's prologue hands out jobs
+        # (with trunk_roi poison, the first click recomputes the trunk)
+        st["done"] = jnp.ones((b,), jnp.bool_)
+        return st
+
+    return _GroupEvaluator(
+        run=jax.jit(stamped(run_window, cfg_salt + ("window",)),
+                    donate_argnums=(1,)),
+        batch_size=batch_size,
+        max_clicks=max_clicks,
+        init=jax.jit(stamped(init_group, cfg_salt + ("window-init",))),
+    )
+
+
 def _bbox_from_mask(mask: jnp.ndarray):
     """Inclusive bbox of a non-empty [H, W] bool mask (f32 scalars)."""
     h, w = mask.shape
@@ -516,103 +633,15 @@ def make_device_evaluator(
     # protocol-independent; tests/test_group_eval.py).
 
     if group_api:
-        # Windowed continuous batching (round 5, VERDICT r4 #4): the compiled
-        # program stages only a WINDOW of job frames — bounded HBM by
-        # construction (the full-78-job LoftUp staging faulted the TPU
-        # worker, BASELINE.md) — and the host chains dispatches with the
-        # LANE STATE CARRIED ACROSS them: when the on-device queue wants a
-        # job beyond the window, the program raises ``want_refill`` and
-        # returns at the next click boundary; the next dispatch (its window
-        # already uploaded behind the running compute) resumes every
-        # mid-protocol lane exactly where it paused. No straggler drain at
-        # window boundaries — the round-4 ``group_max_jobs`` chunking cost.
-
-        def _jobs_in(st, q, want, win_imgs, win_gts, win_hws, n_valid,
-                     win_base):
-            """Hand out jobs from the staged window to lanes in ``want``
-            (lane order). A lane whose next job lies beyond the window parks
-            (job_id stays at the scratch row) and raises ``want_refill``."""
-            W = win_imgs.shape[0]
-            cand = q["next_job"] + jnp.cumsum(want.astype(jnp.int32)) - 1
-            in_sweep = cand < n_valid
-            take = want & in_sweep & (cand < win_base + W)
-            rel = jnp.clip(cand - win_base, 0, W - 1)
-            fresh = jax.vmap(_init_lane)(
-                jnp.take(win_imgs, rel, axis=0),
-                jnp.take(win_gts, rel, axis=0),
-                jnp.take(win_hws, rel, axis=0),
-            )
-            out = dict(st)
-            for k, v in fresh.items():
-                mask = take.reshape((-1,) + (1,) * (v.ndim - 1))
-                out[k] = jnp.where(mask, v, st[k])
-            if use_cache:
-                # poison refilled lanes' cached-trunk ROI so the next
-                # click's batch-global predicate recomputes the trunk
-                out["trunk_roi"] = jnp.where(
-                    take[:, None], -1, out["trunk_roi"])
-            q2 = dict(
-                q,
-                job_id=jnp.where(take, cand, q["job_id"]),
-                next_job=q["next_job"] + jnp.sum(take.astype(jnp.int32)),
-                want_refill=q["want_refill"]
-                | jnp.any(want & in_sweep & ~take),
-            )
-            return out, q2
-
-        def run_window(params, st, q, win_imgs, win_gts, win_hws, n_valid,
-                       win_base):
-            sent = q["out_ious"].shape[0] - 1  # scratch row for idle writes
-
-            def body(carry):
-                st, q = carry
-                new = _body(params, st)
-                active = (~st["done"]) & (st["n"] < max_clicks)
-                fin = active & (new["done"] | (new["n"] >= max_clicks))
-                # results out: finished lanes write their job's row; the
-                # rest target the scratch row (duplicate writes collide
-                # only there, harmlessly)
-                tgt = jnp.where(fin, q["job_id"], sent)
-                q2 = dict(
-                    q,
-                    out_ious=q["out_ious"].at[tgt].set(new["ious"]),
-                    out_n=q["out_n"].at[tgt].set(new["n"]),
-                    job_id=jnp.where(fin, sent, q["job_id"]),
-                )
-                # The job hand-out is UNCONDITIONAL — a lax.cond around the
-                # harvest + the banded-LoftUp slab graph reproducibly
-                # FAULTED the TPU worker (round-4 bisection, BASELINE.md;
-                # scripts/repro_group_fault.py).
-                return _jobs_in(new, q2, fin, win_imgs, win_gts, win_hws,
-                                n_valid, win_base)
-
-            def cond(carry):
-                st, q = carry
-                return _cond(st) & ~q["want_refill"]
-
-            # prologue: reset the refill latch, then fill parked lanes from
-            # the fresh window — covers both the chain start (init parks
-            # every lane) and a mid-sweep window switch
-            q = dict(q, want_refill=jnp.zeros((), jnp.bool_))
-            sent_arr = jnp.asarray(sent, q["job_id"].dtype)
-            st, q = _jobs_in(st, q, q["job_id"] == sent_arr, win_imgs,
-                             win_gts, win_hws, n_valid, win_base)
-            return jax.lax.while_loop(cond, body, (st, q))
-
-        def init_group(params, win_imgs, win_gts, win_hws):
-            b = batch_size
-            st = _init_state(params, win_imgs[:b], win_gts[:b], win_hws[:b])
-            # every lane starts parked; run_window's prologue hands out jobs
-            # (trunk_roi poison makes the first click recompute the trunk)
-            st["done"] = jnp.ones((b,), jnp.bool_)
-            return st
-
-        return _GroupEvaluator(
-            run=jax.jit(stamped(run_window, cfg_salt + ("window",)),
-                        donate_argnums=(1,)),
+        return make_windowed_group_evaluator(
+            init_state=_init_state,
+            init_lane=_init_lane,
+            body_fn=_body,
+            cond_fn=_cond,
             batch_size=batch_size,
             max_clicks=max_clicks,
-            init=jax.jit(stamped(init_group, cfg_salt + ("window-init",))),
+            cfg_salt=cfg_salt,
+            poison_trunk=use_cache,
         )
 
     if batch_size == 1:

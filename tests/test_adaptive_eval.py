@@ -214,6 +214,82 @@ def test_adaptive_batched_matches_host_protocol():
                                    err_msg=f"lane {i}")
 
 
+def test_adaptive_group_matches_per_sample():
+    """Adaptive continuous batching (round 5): the RITM adaptive protocol
+    through the windowed on-device job queue must reproduce the per-sample
+    adaptive evaluator's trajectories exactly — including a window=2 chain
+    that pauses mid-protocol lanes across dispatches. Lanes are
+    protocol-independent; the queue re-times WHEN a lane runs, never what
+    it computes."""
+    from isegprobe_tpu.inference.adaptive_eval import (
+        make_adaptive_group_runner,
+        make_adaptive_runner,
+    )
+    from isegprobe_tpu.inference.device_eval import (
+        evaluate_dataset_device,
+        evaluate_dataset_group,
+    )
+
+    model = _model("identity")
+    image0 = jnp.zeros((1, *CANVAS, 4), jnp.float32)
+    points0 = jnp.full((1, 8, 3), -1.0, jnp.float32)
+    params = model.init(jax.random.PRNGKey(2), image0, points0)["params"]
+
+    def scene(h, w, seed, box):
+        r = np.random.default_rng(seed)
+        img = (r.random((h, w, 3)) * 70).astype(np.uint8)
+        gt = np.zeros((h, w), np.int32)
+        y0, y1, x0, x1 = box
+        gt[y0:y1, x0:x1] = 1
+        img[gt == 1] = [180, 160, 90]
+        return img, gt
+
+    # all four scenes pad to the same 128x128 bucket -> one canvas compile
+    scenes = [
+        scene(98, 84, 0, (24, 65, 16, 63)),
+        scene(70, 112, 5, (17, 46, 22, 84)),
+        scene(112, 112, 9, (10, 100, 60, 100)),
+        scene(90, 100, 13, (20, 70, 25, 80)),
+    ]
+
+    class _DS:
+        def __len__(self):
+            return len(scenes)
+
+        def get_sample(self, i):
+            s = type("S", (), {})()
+            img, gt = scenes[i]
+            s.image, s.objects_ids = img, [1]
+            s.gt_mask = lambda _o, g=gt: g
+            return s
+
+    protocol = dict(max_clicks=5, net_clicks_limit=4, pred_thr=0.49,
+                    target_iou=0.85, with_flip=True, skip_clicks=1,
+                    min_crop_size=24)
+    single = make_adaptive_runner(model, target_size=56, batch_size=1,
+                                  **protocol)
+    want = evaluate_dataset_device(single, params, _DS(), batch_size=1)
+
+    ev = make_adaptive_group_runner(model, target_size=56, batch_size=2,
+                                    **protocol)
+    stats: dict = {}
+    got = evaluate_dataset_group(ev, params, _DS(), stats=stats)
+    assert stats["dispatches"] == 1
+    stats_w: dict = {}
+    got_w = evaluate_dataset_group(ev, params, _DS(), stats=stats_w,
+                                   max_jobs_per_dispatch=2)
+    assert stats_w["dispatches"] == 2
+
+    assert len(want) == len(got) == len(got_w) == len(scenes)
+    for i in range(len(scenes)):
+        assert len(got[i]) == len(want[i]), (
+            f"group lane {i} stopped at a different click")
+        np.testing.assert_allclose(got[i], want[i], rtol=1e-4, atol=1e-4)
+        assert len(got_w[i]) == len(want[i]), (
+            f"windowed lane {i} stopped at a different click")
+        np.testing.assert_allclose(got_w[i], want[i], rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("feat_type", ["token", "key"])
 def test_forward_masked_dino_family(feat_type):
     """The DINO ('vit') featurizer family under the adaptive canvas — both

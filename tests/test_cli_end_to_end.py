@@ -619,12 +619,17 @@ def test_evaluate_eval_ritm_config_effects(fixture_checkpoint, monkeypatch):
     assert zp == {"skip_clicks": -1, "target_size": (400, 400)}
 
 
+@pytest.mark.parametrize("refill", [False, True])
 def test_evaluate_main_adaptive_cvpr_device(fixture_dataset, tmp_path,
-                                            monkeypatch, tmp_path_factory):
+                                            monkeypatch, tmp_path_factory,
+                                            refill):
     """eval_ritm + eval_mode=cvpr + device_loop: the compiled adaptive
     (RITM) ZoomIn protocol through the CLI, with an RITM-style fixture
     (use_rgb_conv stride-2 maps_transform + patch-7 click embed so the
-    half-res coordinate grid matches the backbone grid)."""
+    half-res coordinate grid matches the backbone grid). The refill leg
+    routes the same protocol through the windowed on-device job queue
+    (device_refill=true + device_batch=2 — round-5 adaptive continuous
+    batching)."""
     import jax
 
     from isegprobe_tpu.models.probe_model import (
@@ -682,6 +687,7 @@ def test_evaluate_main_adaptive_cvpr_device(fixture_dataset, tmp_path,
             "print_ious=false",
             "iou_analysis=false",
             "device_loop=true",
+            *(["device_batch=2", "device_refill=true"] if refill else []),
             f"main_cfg_path={main_cfg_path}",
             f"logs_path={tmp_path / 'logs_adaptive'}",
         ],

@@ -95,6 +95,18 @@ def test_group_matches_lockstep_trajectories(injection):
         assert len(a) == len(b), "group lane stopped at a different click"
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
 
+    # window smaller than the job count: mid-protocol lanes pause at the
+    # window boundary and resume next dispatch — including (after_backbone)
+    # a refilled lane's poisoned-trunk recompute landing in a LATER window's
+    # program than the one that refilled it
+    stats_w: dict = {}
+    group_w = evaluate_dataset_group(ev, params, ds, stats=stats_w,
+                                     max_jobs_per_dispatch=3)
+    assert stats_w["dispatches"] == 3  # ceil(7/3) windows, one chain
+    for a, b in zip(lockstep, group_w):
+        assert len(a) == len(b), "windowed lane stopped at a different click"
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
+
 
 def test_group_smaller_than_batch():
     """A group smaller than the lane count exercises idle-from-start lanes

@@ -328,6 +328,32 @@ def measure_trained_workload(batch_size: int = 8, n_samples: int = 24,
     full_cps = sum(len(a) for a in ious_f) / (time.perf_counter() - t0)
     anchors.append(measure_mxu_anchor())
 
+    # adaptive (RITM cvpr) legs on the same trained workload (round 5):
+    # lockstep vs the windowed job queue — the adaptive protocol's wider
+    # click-count spread makes the straggler waste larger than fixed mode's
+    from isegprobe_tpu.inference.adaptive_eval import (
+        make_adaptive_group_runner,
+        make_adaptive_runner,
+    )
+
+    aprotocol = dict(max_clicks=20, net_clicks_limit=20, pred_thr=0.49,
+                     target_iou=target_iou, with_flip=True, skip_clicks=1)
+    alock = make_adaptive_runner(model, target_size=400,
+                                 batch_size=batch_size, **aprotocol)
+    agroup = make_adaptive_group_runner(model, target_size=400,
+                                        batch_size=batch_size, **aprotocol)
+    evaluate_dataset_device(alock, params, full_ds, batch_size=batch_size)
+    t0 = time.perf_counter()
+    ious_al = evaluate_dataset_device(alock, params, full_ds,
+                                      batch_size=batch_size)
+    alock_cps = sum(len(a) for a in ious_al) / (time.perf_counter() - t0)
+    anchors.append(measure_mxu_anchor())
+    evaluate_dataset_group(agroup, params, full_ds)
+    t0 = time.perf_counter()
+    ious_ag = evaluate_dataset_group(agroup, params, full_ds)
+    agroup_cps = sum(len(a) for a in ious_ag) / (time.perf_counter() - t0)
+    anchors.append(measure_mxu_anchor())
+
     # normalize each leg by the mean of its bracketing anchors: a leg that
     # ran on a slow chip-interval scales UP to the reference day, so the
     # normalized group/lockstep ratio is drift-immune even when drift moved
@@ -338,9 +364,12 @@ def measure_trained_workload(batch_size: int = 8, n_samples: int = 24,
 
     return dict(
         lockstep=lock_cps, group=group_cps, fullscale=full_cps,
+        adaptive_lockstep=alock_cps, adaptive_group=agroup_cps,
         anchors=anchors,
         lockstep_norm=norm(lock_cps, 0), group_norm=norm(group_cps, 1),
         fullscale_norm=norm(full_cps, 2),
+        adaptive_lockstep_norm=norm(alock_cps, 3),
+        adaptive_group_norm=norm(agroup_cps, 4),
     )
 
 
@@ -623,6 +652,19 @@ def main():
             round(trained["fullscale_norm"], 1) if trained else None),
         "group_speedup_anchor_norm": (
             round(trained["group_norm"] / trained["lockstep_norm"], 2)
+            if trained else None),
+        # adaptive (RITM cvpr) trained workload: lockstep vs the windowed
+        # job queue (round 5 — adaptive continuous batching)
+        "trained_adaptive_lockstep_clicks_per_s": (
+            round(trained["adaptive_lockstep"], 1) if trained else None),
+        "trained_adaptive_group_clicks_per_s": (
+            round(trained["adaptive_group"], 1) if trained else None),
+        "adaptive_group_speedup": (
+            round(trained["adaptive_group"] / trained["adaptive_lockstep"],
+                  2) if trained else None),
+        "adaptive_group_speedup_anchor_norm": (
+            round(trained["adaptive_group_norm"]
+                  / trained["adaptive_lockstep_norm"], 2)
             if trained else None),
         # train leg: compiled-step vs honest wall s/step (batch 16 @224²,
         # 3 simulated clicks) and analytic MFU of the device step
